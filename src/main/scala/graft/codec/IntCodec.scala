@@ -1,0 +1,254 @@
+package graft.codec
+
+import BitIO._
+
+/** A lightweight compression codec for int32 column chunks.
+  *
+  * Every encoded buffer is self-describing: byte 0 is the codec id,
+  * so `IntCodec.decode` dispatches without out-of-band metadata —
+  * the same tagged-container idea as the reference's chunk payload
+  * format (reference: schema/encoder.go:200-222, uvarint(encoding)
+  * prefix), re-designed for int32 token streams.
+  *
+  * All arithmetic is integer-only and wraps mod 2^32 where needed, so
+  * round-trips are bit-identical for the full Int range including
+  * Int.MinValue / Int.MaxValue (SURVEY.md §7.5 bit-exactness).
+  */
+sealed trait IntCodec {
+  def id: Byte
+  def name: String
+  /** Encode a[from, from+n) into out (appends; writes id byte first). */
+  def encode(a: Array[Int], from: Int, n: Int, out: ByteSink): Unit
+  final def encode(a: Array[Int]): Array[Byte] = {
+    val out = new ByteSink(a.length + 16)
+    encode(a, 0, a.length, out)
+    out.result()
+  }
+}
+
+object IntCodec {
+  case object Plain extends IntCodec {
+    val id: Byte = 0; val name = "plain"
+    def encode(a: Array[Int], from: Int, n: Int, out: ByteSink): Unit = {
+      out.addByte(id); writeUvarint(out, n)
+      var i = 0
+      while (i < n) { out.addIntLE(a(from + i)); i += 1 }
+    }
+  }
+
+  /** ZigZag + fixed-width bit-packing (handles negatives). */
+  case object BitPack extends IntCodec {
+    val id: Byte = 1; val name = "bitpack"
+    def encode(a: Array[Int], from: Int, n: Int, out: ByteSink): Unit = {
+      out.addByte(id); writeUvarint(out, n)
+      if (n == 0) return
+      var maxZ = 0L
+      var i = 0
+      while (i < n) {
+        val z = zigzag(a(from + i)) & 0xffffffffL
+        if (z > maxZ) maxZ = z
+        i += 1
+      }
+      val width = bitsLong(maxZ)
+      out.addByte(width.toByte)
+      val tmp = new Array[Int](n)
+      i = 0
+      while (i < n) { tmp(i) = zigzag(a(from + i)); i += 1 }
+      packBits(tmp, 0, n, width, out)
+    }
+  }
+
+  /** Frame-of-reference: subtract min, bit-pack the non-negative offsets. */
+  case object For extends IntCodec {
+    val id: Byte = 2; val name = "for"
+    def encode(a: Array[Int], from: Int, n: Int, out: ByteSink): Unit = {
+      out.addByte(id); writeUvarint(out, n)
+      if (n == 0) return
+      var mn = a(from); var mx = a(from)
+      var i = 1
+      while (i < n) {
+        val v = a(from + i)
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      writeUvarint(out, zigzag(mn))
+      val width = bitsLong(mx.toLong - mn.toLong)
+      out.addByte(width.toByte)
+      val tmp = new Array[Int](n)
+      i = 0
+      while (i < n) { tmp(i) = a(from + i) - mn; i += 1 } // wraps mod 2^32: ok
+      packBits(tmp, 0, n, width, out)
+    }
+  }
+
+  /** Delta (frame-of-reference on successive differences) + zigzag +
+    * bit-pack. Best for sorted / near-arithmetic sequences.
+    */
+  case object ForDelta extends IntCodec {
+    val id: Byte = 3; val name = "fordelta"
+    def encode(a: Array[Int], from: Int, n: Int, out: ByteSink): Unit = {
+      out.addByte(id); writeUvarint(out, n)
+      if (n == 0) return
+      writeUvarint(out, zigzag(a(from)))
+      if (n == 1) return
+      val tmp = new Array[Int](n - 1)
+      var maxZ = 0L
+      var i = 1
+      while (i < n) {
+        val d = a(from + i) - a(from + i - 1) // int wrap: exact mod 2^32
+        val z = zigzag(d)
+        tmp(i - 1) = z
+        val zu = z & 0xffffffffL
+        if (zu > maxZ) maxZ = zu
+        i += 1
+      }
+      val width = bitsLong(maxZ)
+      out.addByte(width.toByte)
+      packBits(tmp, 0, n - 1, width, out)
+    }
+  }
+
+  /** Run-length encoding: (zigzag-varint value, uvarint run length)*. */
+  case object Rle extends IntCodec {
+    val id: Byte = 4; val name = "rle"
+    def encode(a: Array[Int], from: Int, n: Int, out: ByteSink): Unit = {
+      out.addByte(id); writeUvarint(out, n)
+      var i = 0
+      while (i < n) {
+        val v = a(from + i)
+        var j = i + 1
+        while (j < n && a(from + j) == v) j += 1
+        writeUvarint(out, zigzag(v))
+        writeUvarint(out, j - i)
+        i = j
+      }
+    }
+  }
+
+  /** Dictionary: sorted distinct values (delta-varint coded) + bit-packed
+    * codes. The read side gets O(1) distinct-values from the dictionary —
+    * the trick the reference exploits via Parquet dictionary pages
+    * (reference: search/materialize.go:358-380).
+    */
+  case object Dict extends IntCodec {
+    val id: Byte = 5; val name = "dict"
+    def encode(a: Array[Int], from: Int, n: Int, out: ByteSink): Unit = {
+      out.addByte(id); writeUvarint(out, n)
+      if (n == 0) return
+      val sorted = new Array[Int](n)
+      System.arraycopy(a, from, sorted, 0, n)
+      java.util.Arrays.sort(sorted)
+      var distinct = 1
+      var i = 1
+      while (i < n) {
+        if (sorted(i) != sorted(i - 1)) { sorted(distinct) = sorted(i); distinct += 1 }
+        i += 1
+      }
+      writeUvarint(out, distinct)
+      writeUvarint(out, zigzag(sorted(0)))
+      i = 1
+      while (i < distinct) {
+        writeUvarintLong(out, sorted(i).toLong - sorted(i - 1).toLong)
+        i += 1
+      }
+      val width = bits(distinct - 1)
+      out.addByte(width.toByte)
+      val codes = new Array[Int](n)
+      i = 0
+      while (i < n) {
+        // binary search over the sorted dictionary
+        var lo = 0; var hi = distinct - 1
+        val v = a(from + i)
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (sorted(mid) < v) lo = mid + 1 else hi = mid
+        }
+        codes(i) = lo
+        i += 1
+      }
+      packBits(codes, 0, n, width, out)
+    }
+  }
+
+  val all: Seq[IntCodec] = Seq(Plain, BitPack, For, ForDelta, Rle, Dict)
+  private val byId: Array[IntCodec] = {
+    val arr = new Array[IntCodec](all.map(_.id.toInt).max + 1)
+    all.foreach(c => arr(c.id) = c)
+    arr
+  }
+  def forId(id: Byte): IntCodec = byId(id)
+  def forName(name: String): IntCodec = all.find(_.name == name).get
+
+  /** Decode a self-describing buffer produced by any IntCodec. */
+  def decode(buf: Array[Byte]): Array[Int] = decode(new Reader(buf, 0))
+
+  def decode(r: Reader): Array[Int] = {
+    val id = r.readByte()
+    val n = r.readUvarint()
+    val dst = new Array[Int](n)
+    id match {
+      case 0 => // plain
+        var i = 0
+        val b = r.buf
+        var p = r.pos
+        while (i < n) {
+          dst(i) = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
+            ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+          p += 4; i += 1
+        }
+        r.pos = p
+      case 1 => // bitpack
+        if (n > 0) {
+          val width = r.readByte() & 0xff
+          r.pos = unpackBits(r.buf, r.pos, n, width, dst, 0)
+          var i = 0
+          while (i < n) { dst(i) = unzigzag(dst(i)); i += 1 }
+        }
+      case 2 => // for
+        if (n > 0) {
+          val mn = unzigzag(r.readUvarint())
+          val width = r.readByte() & 0xff
+          r.pos = unpackBits(r.buf, r.pos, n, width, dst, 0)
+          var i = 0
+          while (i < n) { dst(i) = dst(i) + mn; i += 1 }
+        }
+      case 3 => // fordelta
+        if (n > 0) {
+          var prev = unzigzag(r.readUvarint())
+          dst(0) = prev
+          if (n > 1) {
+            val width = r.readByte() & 0xff
+            r.pos = unpackBits(r.buf, r.pos, n - 1, width, dst, 1)
+            var i = 1
+            while (i < n) { prev += unzigzag(dst(i)); dst(i) = prev; i += 1 }
+          }
+        }
+      case 4 => // rle
+        var i = 0
+        while (i < n) {
+          val v = unzigzag(r.readUvarint())
+          val run = r.readUvarint()
+          java.util.Arrays.fill(dst, i, i + run, v)
+          i += run
+        }
+      case 5 => // dict
+        if (n > 0) {
+          val distinct = r.readUvarint()
+          val dict = new Array[Int](distinct)
+          dict(0) = unzigzag(r.readUvarint())
+          var i = 1
+          while (i < distinct) {
+            dict(i) = (dict(i - 1).toLong + r.readUvarintLong()).toInt
+            i += 1
+          }
+          val width = r.readByte() & 0xff
+          r.pos = unpackBits(r.buf, r.pos, n, width, dst, 0)
+          i = 0
+          while (i < n) { dst(i) = dict(dst(i)); i += 1 }
+        }
+      case other => throw new IllegalArgumentException(s"unknown codec id $other")
+    }
+    dst
+  }
+}
