@@ -109,6 +109,36 @@ object IntCodec {
     }
   }
 
+  /** Frame-of-reference with the pack width rounded UP to a whole number
+    * of bytes (8/16/24/32). Pays up to 7 bits/value vs [[For]] but keeps
+    * every value byte-aligned, which preserves the byte-level repetition
+    * a downstream zstd pass exploits — on text-like token streams
+    * zstd(for8) ≈ zstd(original text) while zstd(tight bitpack) is near
+    * incompressible. Only ever chosen by the zstd-aware trial.
+    */
+  case object ForAligned extends IntCodec {
+    val id: Byte = 6; val name = "for8"
+    def encode(a: Array[Int], from: Int, n: Int, out: ByteSink): Unit = {
+      out.addByte(id); writeUvarint(out, n)
+      if (n == 0) return
+      var mn = a(from); var mx = a(from)
+      var i = 1
+      while (i < n) {
+        val v = a(from + i)
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      writeUvarint(out, zigzag(mn))
+      val width = (bitsLong(mx.toLong - mn.toLong) + 7) / 8 * 8
+      out.addByte(width.toByte)
+      val tmp = new Array[Int](n)
+      i = 0
+      while (i < n) { tmp(i) = a(from + i) - mn; i += 1 }
+      packBits(tmp, 0, n, width, out)
+    }
+  }
+
   /** Run-length encoding: (zigzag-varint value, uvarint run length)*. */
   case object Rle extends IntCodec {
     val id: Byte = 4; val name = "rle"
@@ -171,7 +201,7 @@ object IntCodec {
     }
   }
 
-  val all: Seq[IntCodec] = Seq(Plain, BitPack, For, ForDelta, Rle, Dict)
+  val all: Seq[IntCodec] = Seq(Plain, BitPack, For, ForDelta, Rle, Dict, ForAligned)
   private val byId: Array[IntCodec] = {
     val arr = new Array[IntCodec](all.map(_.id.toInt).max + 1)
     all.foreach(c => arr(c.id) = c)
@@ -205,7 +235,7 @@ object IntCodec {
           var i = 0
           while (i < n) { dst(i) = unzigzag(dst(i)); i += 1 }
         }
-      case 2 => // for
+      case 2 | 6 => // for / for8 (same layout, different width choice)
         if (n > 0) {
           val mn = unzigzag(r.readUvarint())
           val width = r.readByte() & 0xff

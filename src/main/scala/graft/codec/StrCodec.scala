@@ -90,11 +90,15 @@ object StrCodec {
       (DictId, out.result())
     } else {
       val (buf, lens) = concatUtf8(values)
-      // FSST trial on a sample: worth it only if it actually shrinks
+      // FSST trial on a sample, judged POST-zstd: the parquet layer
+      // zstd-compresses the cell either way, so FSST only wins if its
+      // output still compresses smaller than zstd(plain) would
       val sampleLen = math.min(buf.length, Fsst.MaxSampleBytes)
       val trial = new ByteSink(sampleLen)
       Fsst.compress(buf, 0, sampleLen, trial)
-      if (buf.length > 64 && trial.size.toLong * 10 < sampleLen.toLong * 9) {
+      val fsstZ = Selector.zstdSize(trial.result())
+      val plainZ = Selector.zstdSize(java.util.Arrays.copyOfRange(buf, 0, sampleLen))
+      if (buf.length > 64 && fsstZ < plainZ) {
         out.addByte(FsstId)
         writeUvarint(out, n)
         writeIntBlock(lens, out)

@@ -1,0 +1,170 @@
+package graft.engine
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.codec.{IntCodec, Selector, StrCodec}
+
+/** Chunk-content checksum: xxhash64 over the little-endian byte image
+  * of the token stream (same role as the reference's per-series
+  * StableHash, reference: convert/reader.go:136-139). Uses the
+  * lz4-java XXHash that ships with Spark — no extra dependency.
+  */
+object Checksum {
+  private val factory = net.jpountz.xxhash.XXHashFactory.fastestJavaInstance()
+
+  def ofTokens(tokens: Array[Int], n: Int): Long = {
+    val h = factory.newStreamingHash64(0x9747b28cL)
+    val buf = new Array[Byte](8192)
+    var i = 0
+    var b = 0
+    while (i < n) {
+      val v = tokens(i)
+      buf(b) = v.toByte
+      buf(b + 1) = (v >>> 8).toByte
+      buf(b + 2) = (v >>> 16).toByte
+      buf(b + 3) = (v >>> 24).toByte
+      b += 4
+      if (b == buf.length) { h.update(buf, 0, b); b = 0 }
+      i += 1
+    }
+    if (b > 0) h.update(buf, 0, b)
+    h.getValue
+  }
+}
+
+/** Encode/decode between the token table and encoded column chunks.
+  *
+  * The encode kernel is a typed mapGroups over deterministic chunk ids —
+  * the whole-codec-on-whole-chunk design (SURVEY.md §4.3): Catalyst
+  * expressions would pay per-row overhead for nothing, while one
+  * shuffle by chunk_id is the minimal data movement any re-clustering
+  * encode can do. This replaces the reference's hand-rolled goroutine
+  * pipeline (reference: convert/reader.go:75-100) with Spark tasks.
+  */
+object Encoder {
+
+  /** Growable int buffer for concatenating a chunk's token stream. */
+  private final class IntBuf(initial: Int) {
+    var arr = new Array[Int](math.max(initial, 64))
+    var len = 0
+    def add(src: Array[Int]): Unit = {
+      if (len + src.length > arr.length) {
+        var cap = arr.length * 2
+        while (cap < len + src.length) cap *= 2
+        arr = java.util.Arrays.copyOf(arr, cap)
+      }
+      System.arraycopy(src, 0, arr, len, src.length)
+      len += src.length
+    }
+  }
+
+  /** Encode one chunk's rows (already sorted by doc_id for deterministic
+    * output) into an EncodedChunk.
+    */
+  def encodeChunk(chunkId: Long, rows: Iterator[ChunkedRow],
+                  inputSplit: String = ""): EncodedChunk = {
+    val docIds = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sources = scala.collection.mutable.ArrayBuffer.empty[String]
+    val lengths = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val toks = new IntBuf(1 << 16)
+    var rawBytes = 0L
+    while (rows.hasNext) {
+      val r = rows.next()
+      docIds += r.doc_id
+      sources += r.source
+      lengths += r.tokens.length
+      toks.add(r.tokens)
+      rawBytes += 4L * r.tokens.length + r.doc_id.length + r.source.length + 4L
+    }
+    val n = docIds.length
+    // tokens are the dominant payload: pick the codec by post-zstd size
+    val (ct, tokensEnc) = Selector.encodeAutoZstdAware(toks.arr, 0, toks.len)
+    val (cl, lengthsEnc) = Selector.encodeAuto(lengths.toArray)
+    val (cd, docIdsEnc) = StrCodec.encodeAuto(docIds.toArray)
+    val (cs, sourcesEnc) = StrCodec.encodeAuto(sources.toArray)
+    val encodedBytes = tokensEnc.length.toLong + lengthsEnc.length +
+      docIdsEnc.length + sourcesEnc.length
+    EncodedChunk(
+      chunk_id = chunkId,
+      n_rows = n,
+      n_tokens = toks.len.toLong,
+      codec_tokens = ct.name,
+      codec_lengths = cl.name,
+      codec_doc_id = StrCodec.name(cd),
+      codec_source = StrCodec.name(cs),
+      doc_ids_enc = docIdsEnc,
+      sources_enc = sourcesEnc,
+      lengths_enc = lengthsEnc,
+      tokens_enc = tokensEnc,
+      raw_bytes = rawBytes,
+      encoded_bytes = encodedBytes,
+      checksum = Checksum.ofTokens(toks.arr, toks.len)
+    )
+  }
+
+  /** Dataset[ChunkedRow] → Dataset[EncodedChunk].
+    *
+    * flatMapSortedGroups gives a secondary sort by doc_id inside each
+    * chunk via Spark's shuffle machinery (no per-group in-memory sort),
+    * making chunk payloads byte-deterministic across runs and cheaper
+    * to compress (sorted doc_ids delta/FSST-compress better).
+    */
+  def encode(chunks: Dataset[ChunkedRow]): Dataset[EncodedChunk] = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks
+      .groupByKey(_.chunk_id)
+      .flatMapSortedGroups(col("doc_id")) { (id, rows) =>
+        Iterator.single(encodeChunk(id, rows))
+      }
+  }
+
+  /** Full path: token table → deterministic chunks → encoded chunks. */
+  def encodeTable(
+      ds: Dataset[TokenRow],
+      tokensPerChunk: Long = Chunker.DefaultTokensPerChunk
+  ): Dataset[EncodedChunk] =
+    encode(Chunker.chunked(ds, tokensPerChunk))
+}
+
+/** Decode side: EncodedChunk → TokenRow, verifying stored checksums —
+  * the round-trip half the reference exercises in its keystone test
+  * (reference: schema/encoder_test.go:31-97).
+  */
+object Decoder {
+
+  final class ChecksumMismatch(chunkId: Long, expected: Long, got: Long)
+    extends RuntimeException(
+      s"chunk $chunkId checksum mismatch: stored=$expected decoded=$got")
+
+  /** Decode one chunk back into rows; throws on checksum mismatch. */
+  def decodeChunk(c: EncodedChunk, verifyChecksum: Boolean = true): Iterator[TokenRow] = {
+    val docIds = StrCodec.decode(c.doc_ids_enc)
+    val sources = StrCodec.decode(c.sources_enc)
+    val lengths = IntCodec.decode(c.lengths_enc)
+    val tokens = IntCodec.decode(c.tokens_enc)
+    if (verifyChecksum) {
+      val got = Checksum.ofTokens(tokens, tokens.length)
+      if (got != c.checksum) throw new ChecksumMismatch(c.chunk_id, c.checksum, got)
+    }
+    new Iterator[TokenRow] {
+      private var i = 0
+      private var off = 0
+      def hasNext: Boolean = i < docIds.length
+      def next(): TokenRow = {
+        val l = lengths(i)
+        val t = java.util.Arrays.copyOfRange(tokens, off, off + l)
+        val row = TokenRow(docIds(i), t, l, sources(i))
+        off += l
+        i += 1
+        row
+      }
+    }
+  }
+
+  def decode(chunks: Dataset[EncodedChunk], verifyChecksum: Boolean = true): Dataset[TokenRow] = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks.flatMap(c => decodeChunk(c, verifyChecksum))
+  }
+}

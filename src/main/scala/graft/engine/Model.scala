@@ -1,0 +1,65 @@
+package graft.engine
+
+/** Input row — exactly the BASELINE.json input_hint shape:
+  * (doc_id:string, tokens:array<int32>, n_tok:int32, source:string).
+  * The analog of the reference's series row (labels + chunk bytes),
+  * reference: convert/reader.go:65-166.
+  */
+final case class TokenRow(
+    doc_id: String,
+    tokens: Array[Int],
+    n_tok: Int,
+    source: String
+)
+
+/** A TokenRow routed to its deterministic encode chunk. */
+final case class ChunkedRow(
+    chunk_id: Long,
+    doc_id: String,
+    tokens: Array[Int],
+    n_tok: Int,
+    source: String
+)
+
+/** One encoded column-chunk group: all four input columns of one chunk
+  * of rows, each compressed with its auto-selected codec. The analog of
+  * the reference's shard (pair of row-aligned Parquet projections,
+  * reference: storage/parquet_shard.go:187-193) collapsed into a single
+  * table — Spark column pruning makes the two-file split unnecessary.
+  */
+final case class EncodedChunk(
+    chunk_id: Long,
+    n_rows: Int,
+    n_tokens: Long,
+    codec_tokens: String,
+    codec_lengths: String,
+    codec_doc_id: String,
+    codec_source: String,
+    doc_ids_enc: Array[Byte],
+    sources_enc: Array[Byte],
+    lengths_enc: Array[Byte],
+    tokens_enc: Array[Byte],
+    raw_bytes: Long,
+    encoded_bytes: Long,
+    checksum: Long
+)
+
+/** Per-chunk lineage/metrics record (FIXTURES.md §2) — the analog of the
+  * reference's file KV metadata + page statistics
+  * (reference: schema/schema_builder.go:41-55), lifted into a queryable
+  * table so failed partitions resume without re-encoding completed ones.
+  */
+final case class LineageRecord(
+    chunk_id: Long,
+    input_split: String,
+    codec_tokens: String,
+    codec_lengths: String,
+    codec_doc_id: String,
+    codec_source: String,
+    row_count: Long,
+    token_count: Long,
+    raw_bytes: Long,
+    encoded_bytes: Long,
+    checksum: Long,
+    status: String
+)

@@ -1,0 +1,161 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Job wiring: resumable encode with per-chunk lineage.
+  *
+  * The metrics/lineage table is the Iceberg-manifest analog (SURVEY.md
+  * §1.5 note: no Iceberg runtime jar ships in this sandbox, so the
+  * "Iceberg table" is a partitioned Parquet directory + an explicit
+  * manifest table — the exact subset of Iceberg semantics the north
+  * rule exercises).
+  *
+  * Resume model: encoding proceeds in `waves` (hash-partitioned groups
+  * of chunk ids); each wave is one atomic Spark write (chunks, then the
+  * lineage derived from the *written* chunks — so a lineage row exists
+  * only for durably persisted data). A failure kills at most the
+  * current wave; a re-run left_anti-joins completed chunk ids out of
+  * the plan and re-encodes only the remainder — per-partition
+  * checkpointing at the granularity a 1000-executor job needs.
+  */
+object Pipeline {
+
+  final case class EncodeReport(
+      wavesRun: Int,
+      chunksEncoded: Long,
+      chunksSkipped: Long,
+      rows: Long,
+      tokens: Long,
+      rawBytes: Long,
+      encodedBytes: Long
+  )
+
+  def chunksPath(outDir: String) = s"$outDir/chunks"
+  def lineagePath(outDir: String) = s"$outDir/lineage"
+
+  /** JVM-side mirror of the SQL wave assignment
+    * pmod(xxhash64(chunk_id), waves) — Spark's xxhash64 uses seed 42.
+    * Lets tests/tools target one wave deterministically.
+    */
+  def waveOfId(id: Long, waves: Int): Long =
+    Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L),
+      waves.toLong)
+
+  private def lineageFromChunks(chunks: DataFrame, inputSplit: String): DataFrame =
+    chunks.select(
+      col("chunk_id"),
+      lit(inputSplit).as("input_split"),
+      col("codec_tokens"), col("codec_lengths"),
+      col("codec_doc_id"), col("codec_source"),
+      col("n_rows").cast("long").as("row_count"),
+      col("n_tokens").as("token_count"),
+      col("raw_bytes"), col("encoded_bytes"),
+      col("checksum"),
+      lit("completed").as("status")
+    )
+
+  def readLineage(spark: SparkSession, outDir: String): Option[DataFrame] =
+    try {
+      val df = spark.read.parquet(lineagePath(outDir))
+      Some(df)
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  def readChunks(spark: SparkSession, outDir: String): Dataset[EncodedChunk] = {
+    import spark.implicits._
+    spark.read.parquet(chunksPath(outDir)).as[EncodedChunk]
+  }
+
+  /** Run the resumable encode job.
+    *
+    * @param failOnChunk test hook: a predicate on chunk_id that makes
+    *        the encode kernel throw (kill-one-partition test,
+    *        FIXTURES.md §2). Pure function, serialized to tasks.
+    */
+  def run(
+      spark: SparkSession,
+      input: Dataset[TokenRow],
+      outDir: String,
+      tokensPerChunk: Long = Chunker.DefaultTokensPerChunk,
+      waves: Int = 4,
+      inputSplit: String = "",
+      failOnChunk: Long => Boolean = _ => false
+  ): EncodeReport = {
+    import spark.implicits._
+
+    val planned = Chunker.chunked(input, tokensPerChunk)
+
+    // chunks already durable from a previous (partial) run
+    val completed: Option[DataFrame] =
+      readLineage(spark, outDir).map(_.select("chunk_id").distinct())
+    val skippedCount = completed.map(_.count()).getOrElse(0L)
+
+    val pending = completed match {
+      case Some(done) =>
+        // completed chunk ids are tiny relative to data: broadcast anti-join
+        planned.join(broadcast(done), Seq("chunk_id"), "left_anti")
+          .as[ChunkedRow]
+      case None => planned
+    }
+
+    var encoded = 0L
+    var rows = 0L
+    var tokens = 0L
+    var rawB = 0L
+    var encB = 0L
+    var wavesRun = 0
+
+    // wave = hash of chunk_id, NOT chunk_id % waves: chunk ids are
+    // base*MaxSplit + salt, and MaxSplit ≡ 0 mod any small wave count,
+    // so modulo would pile every unsalted chunk into wave 0
+    def waveOf(c: org.apache.spark.sql.Column) = pmod(xxhash64(c), lit(waves.toLong))
+
+    var w = 0
+    while (w < waves) {
+      val wave = pending.filter(waveOf(col("chunk_id")) === w.toLong)
+        .as[ChunkedRow]
+      val enc = Encoder.encode(wave).map { c =>
+        if (failOnChunk(c.chunk_id))
+          throw new RuntimeException(s"injected failure on chunk ${c.chunk_id}")
+        c
+      }(org.apache.spark.sql.Encoders.product[EncodedChunk])
+
+      // wave write: chunks first; lineage derived from what was written
+      // (a lineage row exists only for durably persisted data). Reading
+      // back only touches metadata columns — parquet prunes the payload.
+      // zstd whole-file compression on top of our per-column codecs —
+      // the reference's layering too (parquet encodings under zstd,
+      // reference: schema/schema.go:38-75)
+      enc.write.mode(SaveMode.Append)
+        .option("compression", "zstd")
+        .parquet(chunksPath(outDir))
+      val writtenAll = spark.read
+        .schema(org.apache.spark.sql.Encoders.product[EncodedChunk].schema)
+        .parquet(chunksPath(outDir))
+        .filter(waveOf(col("chunk_id")) === w.toLong)
+      // on resume, the dir also holds chunks from the previous run:
+      // exclude anything already in the lineage table
+      val written = completed match {
+        case Some(done) => writtenAll.join(broadcast(done), Seq("chunk_id"), "left_anti")
+        case None => writtenAll
+      }
+      val lin = lineageFromChunks(written, inputSplit)
+      lin.write.mode(SaveMode.Append).parquet(lineagePath(outDir))
+
+      val stats = written.agg(
+        count(lit(1)), sum("n_rows"), sum("n_tokens"),
+        sum("raw_bytes"), sum("encoded_bytes")).first()
+      encoded += stats.getLong(0)
+      if (!stats.isNullAt(1)) {
+        rows += stats.getLong(1)
+        tokens += stats.getLong(2)
+        rawB += stats.getLong(3)
+        encB += stats.getLong(4)
+      }
+      wavesRun += 1
+      w += 1
+    }
+    EncodeReport(wavesRun, encoded, skippedCount, rows, tokens, rawB, encB)
+  }
+}
