@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // encode kernels handle multi-MB column chunks; 32m regions keep those
+  // buffers out of G1's humongous slow path under 32-way concurrency
+  "-XX:G1HeapRegionSize=32m",
 )

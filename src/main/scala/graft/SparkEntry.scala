@@ -1,13 +1,466 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{Chunker, Decoder, Encoder, TokenRow}
+
+/** Driver contract — queries demonstrating every operator family from
+  * SURVEY.md §2 plus the training-data pipeline ops, each with a DuckDB
+  * oracle where ANSI-SQL-expressible. Column names are aligned between
+  * the Spark plan and the oracle SQL (the driver hashes values under
+  * name-sorted columns); every query carries a total-order ORDER BY so
+  * row order can never fail the compare.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** documents → input_hint-shaped token table: tokens = unicode code
+    * points of `text` (deterministic, oracle-checkable: DuckDB
+    * `unicode()` over per-char splits).
+    */
+  def tokenTable(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[TokenRow] = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id").cast("string"), col("text"), col("source"))
+      .as[(String, String, String)]
+      .map { case (id, text, src) =>
+        val toks = text.codePoints().toArray
+        TokenRow(id, toks, toks.length, src)
+      }
+  }
+
+  /** Flagship on sf0.001: full encode→decode round-trip aggregated per
+    * source. Driver smoke-checks rows > 0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q10_roundtrip_encode_decode")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/S5 scan + F1/F3 pushdown filter + P1/P2 projection
+    "q01_scan_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < to_timestamp(lit("1996-01-01")) &&
+          col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // A-family aggregation (TPC-H Q1 shape), decimal-exact sums
+    "q02_agg_groupby" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // A3/A4 distinct values (the dictionary-page trick's query shape)
+    "q03_distinct_sorted" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("source")).distinct()
+        .orderBy(col("source"))
+    }),
+
+    // O1-O5 sort + top-k
+    "q04_sort_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // §2.7 union + distinct (k-way merge analog)
+    "q05_union_distinct" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.filter(col("n_chars") < 100).select(col("doc_id"))
+        .union(d.filter(col("source") === "src1").select(col("doc_id")))
+        .distinct()
+        .orderBy(col("doc_id"))
+    }),
+
+    // §2.3 the one real join: equi join + aggregate
+    "q06_join_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // F4 regex constraint
+    "q07_filter_regex" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(col("text").rlike("hash (join|agg)"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .orderBy(col("source"))
+    }),
+
+    // F2/F5 set-match + NOT constraints
+    "q08_filter_in_not" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R") && !(col("l_linestatus") === "F"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // tokenizer: n_tok == unicode codepoint count (oracle: length(text))
+    "q09_tokenize_counts" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      tokenTable(s, dir)
+        .map(r => (r.doc_id.toLong, r.n_tok.toLong))
+        .toDF("doc_id", "n_tok")
+        .orderBy(col("doc_id"))
+    }),
+
+    // THE ENGINE: encode → decode → aggregate; oracle recomputes the
+    // same sums from raw text codepoints in DuckDB
+    "q10_roundtrip_encode_decode" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val chunks = Encoder.encodeTable(tokenTable(s, dir), tokensPerChunk = 16384)
+      Decoder.decode(chunks)
+        .map(r => (r.source, r.tokens.foldLeft(0L)(_ + _), 1L))
+        .toDF("source", "tok_sum", "one")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok_sum")).as("token_sum"))
+        .orderBy(col("source"))
+    }),
+
+    // exact near-dup grouping on a canonical prefix (md5 fingerprint)
+    "q11_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(md5(col("text").substr(1, 20)).as("fp"), col("doc_id"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+        .filter(col("n") > 1)
+        .orderBy(col("fp"))
+    }),
+
+    // per-source dedup stats (distinct-hash counting)
+    "q12_dedup_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"))
+        .orderBy(col("source"))
+    }),
+
+    // window function: top-3 busiest days per event type
+    "q13_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("n").desc, col("day"))
+      daily.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy(col("event_type"), col("rk"))
+    }),
+
+    // text quality scoring: word count + stopword occurrences
+    "q14_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("word_cnt"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "the", ""))) / 3)
+          .cast("long").as("the_cnt"),
+        col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // language-ID heuristic (content marker based)
+    "q15_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("predicted",
+          when(col("text").contains(" the "), lit("en")).otherwise(lit("other")))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
+    // whitespace token counting
+    "q16_token_count_ws" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_ws_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // document fingerprinting (full-text md5)
+    "q17_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash signatures over word 3-shingles, 4 hash families (md5
+    // salted) — deterministic and oracle-checkable
+    "q18_minhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("shingles", expr(
+          "transform(sequence(1, size(words)-2), i -> " +
+            "concat_ws(' ', element_at(words,i), element_at(words,i+1), element_at(words,i+2)))"))
+        .select(
+          col("doc_id"),
+          expr("array_min(transform(shingles, x -> md5(concat(x,'#0'))))").as("mh0"),
+          expr("array_min(transform(shingles, x -> md5(concat(x,'#1'))))").as("mh1"),
+          expr("array_min(transform(shingles, x -> md5(concat(x,'#2'))))").as("mh2"),
+          expr("array_min(transform(shingles, x -> md5(concat(x,'#3'))))").as("mh3"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // LSH banding: bucket the minhash bands, report collision buckets
+    "q19_lsh_buckets" -> ((s, dir) => {
+      val mh = queries("q18_minhash")(s, dir)
+      val bands = (0 to 3).map { b =>
+        mh.select(lit(b).as("band"), col(s"mh$b").as("bucket"), col("doc_id"))
+      }.reduce(_ union _)
+      bands.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("band"), col("bucket"))
+    }),
+
+    // n-gram (3-shingle) Jaccard similarity of each doc vs doc 0,
+    // restricted to first 25 docs — exact set ops, oracle-checkable
+    "q20_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 25)
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("sh", expr(
+          "array_distinct(transform(sequence(1, size(words)-2), i -> " +
+            "concat_ws(' ', element_at(words,i), element_at(words,i+1), element_at(words,i+2))))"))
+        .select(col("doc_id"), col("sh"))
+      val probe = d.filter(col("doc_id") === 0)
+        .select(col("sh").as("probe_sh"))
+      d.crossJoin(probe)
+        .select(
+          col("doc_id"),
+          size(array_intersect(col("sh"), col("probe_sh"))).cast("long").as("inter"),
+          size(array_union(col("sh"), col("probe_sh"))).cast("long").as("uni"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // embeddings scan/aggregate
+    "q21_embed_stats" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
+        .orderBy(col("label"))
+    }),
+
+    // ---- rows-only entries (not ANSI-SQL-expressible identically) ----
+
+    // ANN: brute-force cosine top-5 for 3 probe vectors (float math —
+    // no hash-stable oracle; ranking ties could differ)
+    "q30_ann_cosine_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val dot = expr("aggregate(zip_with(embedding, qe, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+      val na = expr("sqrt(aggregate(transform(embedding, x -> x * x), 0D, (a, x) -> a + double(x)))")
+      val nb = expr("sqrt(aggregate(transform(qe, x -> x * x), 0D, (a, x) -> a + double(x)))")
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", dot / (na * nb))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vec_id"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // SimHash 16-bit signatures (bit-majority over word hashes)
+    "q31_simhash" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val acc = new Array[Int](16)
+          text.split(' ').foreach { wrd =>
+            val h = wrd.hashCode
+            var b = 0
+            while (b < 16) {
+              if (((h >>> b) & 1) == 1) acc(b) += 1 else acc(b) -= 1
+              b += 1
+            }
+          }
+          var sig = 0
+          var b = 0
+          while (b < 16) { if (acc(b) > 0) sig |= 1 << b; b += 1 }
+          (id, sig.toLong)
+        }
+        .toDF("doc_id", "simhash")
+        .orderBy(col("doc_id"))
+    }),
+
+    // engine lineage surface: chunk plan + codec choices on testdata
+    "q32_encode_lineage" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      Encoder.encodeTable(tokenTable(s, dir), tokensPerChunk = 16384)
+        .toDF()
+        .select(col("chunk_id"), col("n_rows"), col("n_tokens"),
+          col("codec_tokens"), col("codec_source"),
+          col("raw_bytes"), col("encoded_bytes"))
+        .orderBy(col("chunk_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q02_agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_distinct_sorted" ->
+      "SELECT DISTINCT source FROM documents ORDER BY source",
+
+    "q04_sort_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q05_union_distinct" ->
+      """SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_id FROM documents WHERE n_chars < 100
+        |  UNION ALL
+        |  SELECT doc_id FROM documents WHERE source = 'src1')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q06_join_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q07_filter_regex" ->
+      """SELECT source, count(*) AS n FROM documents
+        |WHERE regexp_matches(text, 'hash (join|agg)')
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q08_filter_in_not" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |WHERE l_returnflag IN ('A','R') AND NOT l_linestatus = 'F'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q09_tokenize_counts" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q10_roundtrip_encode_decode" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(cp_sum) AS BIGINT) AS token_sum
+        |FROM (
+        |  SELECT source,
+        |    (SELECT sum(unicode(ch)) FROM unnest(string_split(text, '')) AS u(ch)) AS cp_sum
+        |  FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q11_dedup_exact" ->
+      """SELECT fp, count(*) AS n, min(doc_id) AS keeper FROM (
+        |  SELECT md5(substring(text, 1, 20)) AS fp, doc_id FROM documents)
+        |GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+
+    "q12_dedup_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_unique
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q13_window_rank" ->
+      """SELECT * FROM (
+        |  SELECT event_type, day, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY n DESC, day) AS rk
+        |  FROM (
+        |    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n
+        |    FROM events GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)))
+        |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
+
+    "q14_quality_score" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS word_cnt,
+        |  CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS the_cnt,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q15_langid" ->
+      """SELECT lang,
+        |  CASE WHEN text LIKE '% the %' THEN 'en' ELSE 'other' END AS predicted,
+        |  count(*) AS n
+        |FROM documents GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+
+    "q16_token_count_ws" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q17_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+
+    "q18_minhash" ->
+      """SELECT doc_id,
+        |  list_min(list_transform(sh, x -> md5(x || '#0'))) AS mh0,
+        |  list_min(list_transform(sh, x -> md5(x || '#1'))) AS mh1,
+        |  list_min(list_transform(sh, x -> md5(x || '#2'))) AS mh2,
+        |  list_min(list_transform(sh, x -> md5(x || '#3'))) AS mh3
+        |FROM (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q19_lsh_buckets" ->
+      """WITH mh AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(sh, x -> md5(x || '#0'))) AS mh0,
+        |    list_min(list_transform(sh, x -> md5(x || '#1'))) AS mh1,
+        |    list_min(list_transform(sh, x -> md5(x || '#2'))) AS mh2,
+        |    list_min(list_transform(sh, x -> md5(x || '#3'))) AS mh3
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+        |bands AS (
+        |  SELECT 0 AS band, mh0 AS bucket, doc_id FROM mh
+        |  UNION ALL SELECT 1, mh1, doc_id FROM mh
+        |  UNION ALL SELECT 2, mh2, doc_id FROM mh
+        |  UNION ALL SELECT 3, mh3, doc_id FROM mh)
+        |SELECT band, bucket, count(*) AS n_docs FROM bands
+        |GROUP BY band, bucket HAVING count(*) > 1
+        |ORDER BY band, bucket""".stripMargin,
+
+    "q20_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |        WHERE doc_id < 25)),
+        |probe AS (SELECT sh AS probe_sh FROM d WHERE doc_id = 0)
+        |SELECT doc_id,
+        |  CAST(len(list_intersect(sh, probe_sh)) AS BIGINT) AS inter,
+        |  CAST(len(list_distinct(list_concat(sh, probe_sh))) AS BIGINT) AS uni
+        |FROM d, probe ORDER BY doc_id""".stripMargin,
+
+    "q21_embed_stats" ->
+      """SELECT label, count(*) AS n, min(vec_id) AS min_id, max(vec_id) AS max_id
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+  )
 }

@@ -90,14 +90,73 @@ object BitIO {
   /** Pack n values (each < 2^width, width in 0..32) LSB-first into out.
     * width == 0 writes nothing (all values are 0).
     */
-  def packBits(values: Array[Int], from: Int, n: Int, width: Int, out: ByteSink): Unit = {
+  def packBits(values: Array[Int], from: Int, n: Int, width: Int, out: ByteSink): Unit =
+    packBitsOffset(values, from, n, width, 0, out)
+
+  /** Fused subtract-and-pack: packs (values(i) - base) without a temp
+    * array. Encoding a 4M-token chunk must not allocate 16MB scratch per
+    * candidate codec — 32 concurrent tasks doing that stall the JVM on
+    * G1 humongous allocations.
+    */
+  def packBitsOffset(values: Array[Int], from: Int, n: Int, width: Int,
+                     base: Int, out: ByteSink): Unit = {
     if (width == 0 || n == 0) return
-    var acc = 0L      // bit accumulator
-    var accBits = 0   // bits currently in acc
+    out.ensure(packedBytes(n, width) + 8)
+    var acc = 0L
+    var accBits = 0
     val mask = if (width == 32) 0xffffffffL else (1L << width) - 1
     var i = 0
     while (i < n) {
-      acc |= (values(from + i) & mask) << accBits
+      acc |= ((values(from + i) - base) & mask) << accBits
+      accBits += width
+      while (accBits >= 8) {
+        out.addByte((acc & 0xff).toByte)
+        acc >>>= 8
+        accBits -= 8
+      }
+      i += 1
+    }
+    if (accBits > 0) out.addByte((acc & 0xff).toByte)
+  }
+
+  /** Fused zigzag-and-pack (no temp array). */
+  def packBitsZigzag(values: Array[Int], from: Int, n: Int, width: Int,
+                     out: ByteSink): Unit = {
+    if (width == 0 || n == 0) return
+    out.ensure(packedBytes(n, width) + 8)
+    var acc = 0L
+    var accBits = 0
+    val mask = if (width == 32) 0xffffffffL else (1L << width) - 1
+    var i = 0
+    while (i < n) {
+      val v = values(from + i)
+      acc |= (((v << 1) ^ (v >> 31)) & mask) << accBits
+      accBits += width
+      while (accBits >= 8) {
+        out.addByte((acc & 0xff).toByte)
+        acc >>>= 8
+        accBits -= 8
+      }
+      i += 1
+    }
+    if (accBits > 0) out.addByte((acc & 0xff).toByte)
+  }
+
+  /** Fused delta-zigzag-and-pack over values(from+1 ..< from+n). */
+  def packBitsDeltaZigzag(values: Array[Int], from: Int, n: Int, width: Int,
+                          out: ByteSink): Unit = {
+    if (width == 0 || n <= 1) return
+    out.ensure(packedBytes(n - 1, width) + 8)
+    var acc = 0L
+    var accBits = 0
+    val mask = if (width == 32) 0xffffffffL else (1L << width) - 1
+    var prev = values(from)
+    var i = 1
+    while (i < n) {
+      val v = values(from + i)
+      val d = v - prev
+      prev = v
+      acc |= (((d << 1) ^ (d >> 31)) & mask) << accBits
       accBits += width
       while (accBits >= 8) {
         out.addByte((acc & 0xff).toByte)
@@ -142,10 +201,16 @@ object BitIO {
     ((n.toLong * width + 7) / 8).toInt
 }
 
-/** Growable byte buffer without java.io overhead; single-threaded use. */
+/** Growable byte buffer without java.io overhead; single-threaded use.
+  * `reset()` + reuse keeps steady-state encode allocation-free (the
+  * backing array is retained at its high-water mark).
+  */
 final class ByteSink(initial: Int = 64) {
   private var buf = new Array[Byte](math.max(initial, 16))
   private var len = 0
+  /** Pre-grow so the following `extra` bytes never reallocate. */
+  def ensure(extra: Int): Unit = if (len + extra > buf.length) grow(len + extra)
+  def reset(): Unit = len = 0
   @inline def addByte(b: Byte): Unit = {
     if (len == buf.length) grow(len + 1)
     buf(len) = b

@@ -51,10 +51,7 @@ object IntCodec {
       }
       val width = bitsLong(maxZ)
       out.addByte(width.toByte)
-      val tmp = new Array[Int](n)
-      i = 0
-      while (i < n) { tmp(i) = zigzag(a(from + i)); i += 1 }
-      packBits(tmp, 0, n, width, out)
+      packBitsZigzag(a, from, n, width, out)
     }
   }
 
@@ -75,10 +72,7 @@ object IntCodec {
       writeUvarint(out, zigzag(mn))
       val width = bitsLong(mx.toLong - mn.toLong)
       out.addByte(width.toByte)
-      val tmp = new Array[Int](n)
-      i = 0
-      while (i < n) { tmp(i) = a(from + i) - mn; i += 1 } // wraps mod 2^32: ok
-      packBits(tmp, 0, n, width, out)
+      packBitsOffset(a, from, n, width, mn, out) // (v - mn) wraps mod 2^32: ok
     }
   }
 
@@ -92,20 +86,17 @@ object IntCodec {
       if (n == 0) return
       writeUvarint(out, zigzag(a(from)))
       if (n == 1) return
-      val tmp = new Array[Int](n - 1)
       var maxZ = 0L
       var i = 1
       while (i < n) {
         val d = a(from + i) - a(from + i - 1) // int wrap: exact mod 2^32
-        val z = zigzag(d)
-        tmp(i - 1) = z
-        val zu = z & 0xffffffffL
+        val zu = zigzag(d) & 0xffffffffL
         if (zu > maxZ) maxZ = zu
         i += 1
       }
       val width = bitsLong(maxZ)
       out.addByte(width.toByte)
-      packBits(tmp, 0, n - 1, width, out)
+      packBitsDeltaZigzag(a, from, n, width, out)
     }
   }
 
@@ -132,10 +123,7 @@ object IntCodec {
       writeUvarint(out, zigzag(mn))
       val width = (bitsLong(mx.toLong - mn.toLong) + 7) / 8 * 8
       out.addByte(width.toByte)
-      val tmp = new Array[Int](n)
-      i = 0
-      while (i < n) { tmp(i) = a(from + i) - mn; i += 1 }
-      packBits(tmp, 0, n, width, out)
+      packBitsOffset(a, from, n, width, mn, out)
     }
   }
 
@@ -184,20 +172,31 @@ object IntCodec {
       }
       val width = bits(distinct - 1)
       out.addByte(width.toByte)
-      val codes = new Array[Int](n)
-      i = 0
-      while (i < n) {
-        // binary search over the sorted dictionary
-        var lo = 0; var hi = distinct - 1
-        val v = a(from + i)
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (sorted(mid) < v) lo = mid + 1 else hi = mid
+      // pack codes inline: binary search per value, no codes array
+      out.ensure(BitIO.packedBytes(n, width) + 8)
+      if (width > 0) {
+        var acc = 0L
+        var accBits = 0
+        val mask = (1L << width) - 1
+        i = 0
+        while (i < n) {
+          var lo = 0; var hi = distinct - 1
+          val v = a(from + i)
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (sorted(mid) < v) lo = mid + 1 else hi = mid
+          }
+          acc |= (lo & mask) << accBits
+          accBits += width
+          while (accBits >= 8) {
+            out.addByte((acc & 0xff).toByte)
+            acc >>>= 8
+            accBits -= 8
+          }
+          i += 1
         }
-        codes(i) = lo
-        i += 1
+        if (accBits > 0) out.addByte((acc & 0xff).toByte)
       }
-      packBits(codes, 0, n, width, out)
     }
   }
 

@@ -38,6 +38,25 @@ object Selector {
     */
   final val SampleThreshold = 1 << 20
 
+  /** Per-thread scratch: the distinct set uses a generation stamp so no
+    * clearing pass is needed between calls; buffers are retained at
+    * their high-water mark. Keeps steady-state encode near
+    * allocation-free — 32 concurrent encode tasks each allocating
+    * multi-MB scratch per chunk stall the JVM on G1 humongous
+    * allocation slow paths (measured: 75x kernel slowdown).
+    */
+  private final class Scratch {
+    val capMask: Int = (DistinctCap << 1) - 1
+    val table = new Array[Int](capMask + 1)
+    val stamp = new Array[Int](capMask + 1)
+    var gen = 0
+    val trialSink = new ByteSink(1 << 18)
+    val outSink = new ByteSink(1 << 20)
+  }
+  private val scratch = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
+  }
+
   def stats(a: Array[Int], from: Int, n: Int): ChunkStats = {
     if (n == 0) return ChunkStats(0, 0, 0, 0L, 0L, 0, 0L, 0, sorted = true)
     var mn = a(from); var mx = mn
@@ -46,17 +65,20 @@ object Selector {
     var runs = 1
     var rleBytes = 0L
     var sorted = true
-    // distinct via open-addressing set, capped
-    val capMask = (DistinctCap << 1) - 1 // 2x load headroom
-    val table = new Array[Int](capMask + 1)
-    val seen = new Array[Boolean](capMask + 1)
+    // distinct via open-addressing set (thread-local, generation-stamped)
+    val sc = scratch.get()
+    sc.gen += 1
+    val gen = sc.gen
+    val capMask = sc.capMask
+    val table = sc.table
+    val stamp = sc.stamp
     var distinct = 0
     @inline def addDistinct(v: Int): Unit = {
       if (distinct >= 0 && distinct < DistinctCap) {
         var h = (v * 0x9e3779b1) >>> 16 & capMask
         var cont = true
         while (cont) {
-          if (!seen(h)) { seen(h) = true; table(h) = v; distinct += 1; cont = false }
+          if (stamp(h) != gen) { stamp(h) = gen; table(h) = v; distinct += 1; cont = false }
           else if (table(h) == v) cont = false
           else h = (h + 1) & capMask
         }
@@ -205,14 +227,16 @@ object Selector {
       if (n <= TrialValues) (from, n)
       else (from + (n - TrialValues) / 2, TrialValues)
 
+    val sc = scratch.get()
     val winner = candidates.minBy { c =>
-      val out = new ByteSink(tN * 2 + 16)
-      c.encode(a, tFrom, tN, out)
-      zstdSize(out.result())
+      sc.trialSink.reset()
+      c.encode(a, tFrom, tN, sc.trialSink)
+      zstdSize(sc.trialSink.result())
     }
-    val out = new ByteSink(n + 16)
-    winner.encode(a, from, n, out)
-    (winner, out.result())
+    sc.outSink.reset()
+    sc.outSink.ensure(4 * n + 64)
+    winner.encode(a, from, n, sc.outSink)
+    (winner, sc.outSink.result())
   }
 
   def encodeAutoZstdAware(a: Array[Int]): (IntCodec, Array[Byte]) =

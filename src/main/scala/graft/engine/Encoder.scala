@@ -43,10 +43,15 @@ object Checksum {
   */
 object Encoder {
 
-  /** Growable int buffer for concatenating a chunk's token stream. */
+  /** Growable int buffer for concatenating a chunk's token stream.
+    * Thread-local + reset-reused: steady-state encode must not allocate
+    * multi-MB arrays per chunk (G1 humongous-allocation stalls under
+    * 32-way concurrency).
+    */
   private final class IntBuf(initial: Int) {
     var arr = new Array[Int](math.max(initial, 64))
     var len = 0
+    def reset(): Unit = len = 0
     def add(src: Array[Int]): Unit = {
       if (len + src.length > arr.length) {
         var cap = arr.length * 2
@@ -58,6 +63,10 @@ object Encoder {
     }
   }
 
+  private val tokenBuf = new ThreadLocal[IntBuf] {
+    override def initialValue(): IntBuf = new IntBuf(1 << 20)
+  }
+
   /** Encode one chunk's rows (already sorted by doc_id for deterministic
     * output) into an EncodedChunk.
     */
@@ -66,7 +75,8 @@ object Encoder {
     val docIds = scala.collection.mutable.ArrayBuffer.empty[String]
     val sources = scala.collection.mutable.ArrayBuffer.empty[String]
     val lengths = scala.collection.mutable.ArrayBuffer.empty[Int]
-    val toks = new IntBuf(1 << 16)
+    val toks = tokenBuf.get()
+    toks.reset()
     var rawBytes = 0L
     while (rows.hasNext) {
       val r = rows.next()
