@@ -26,7 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g: local[32] means up to 32 concurrent parquet writer buffers
+  // (128MB row groups) + vectorized reader batches of array<int32> rows
+  // — 8g OOMs on the 1B-token bench corpus
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // encode kernels handle multi-MB column chunks; 32m regions keep those
   // buffers out of G1's humongous slow path under 32-way concurrency
   "-XX:G1HeapRegionSize=32m",

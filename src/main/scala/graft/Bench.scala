@@ -37,6 +37,9 @@ object Bench {
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // long-tail rows reach 32k tokens; the default 4096-row vector
+      // batch can reserve ~0.5GB contiguous per task on array<int32>
+      .config("spark.sql.parquet.columnarReaderBatchSize", "512")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
@@ -58,6 +61,7 @@ object Bench {
       val t0 = System.nanoTime()
       Encoder.encodeTable(ds, tokensPerChunk)
         .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("part_source") // the production (Pipeline) layout
         .parquet(s"$outPath-run$i")
       val secs = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench-child] local[$cpus] pass$i: $secs%.2fs")
@@ -74,7 +78,7 @@ object Bench {
   private def forkEncode(cpus: Int, inputPath: String, outPath: String,
                          tokensPerChunk: Long, runs: Int): (Double, Long, Long, Long, String) = {
     val java = System.getProperty("java.home") + "/bin/java"
-    val xmx = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+    val xmx = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
     val cmd = Seq(java, s"-Xmx$xmx", "-XX:G1HeapRegionSize=32m") ++ addOpens ++ Seq(
       "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
@@ -101,8 +105,12 @@ object Bench {
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "120000").toLong
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // ~1B tokens: large enough that kernel+scan CPU dominates the ~1s
+    // per-job fixed overhead — smaller corpora measure scheduler floor,
+    // not scaling (measured: 100M tokens runs in ~3s at BOTH local[8]
+    // and local[32])
+    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1200000").toLong
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val lowCpus = math.max(1, cpus / 4)
 
     // ---- part 1: headline queries -------------------------------------
@@ -121,7 +129,9 @@ object Bench {
       .write.mode("overwrite").parquet(inputPath)
     // reference size: stock Spark parquet+zstd of the same rows
     val stockPath = s"$base/stock"
-    spark0.read.parquet(inputPath).write
+    // untimed baseline write: coalesce bounds concurrent 128MB parquet
+    // writer buffers (32 writers OOM an 8-24g heap on a 4GB corpus)
+    spark0.read.parquet(inputPath).coalesce(8).write
       .mode("overwrite").option("compression", "zstd").parquet(stockPath)
     val stockBytes = graft.engine.Verifier.dirBytes(stockPath)
     spark0.stop()

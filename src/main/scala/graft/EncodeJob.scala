@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.engine.{Chunker, Pipeline, TokenRow, Verifier}
+
+/** spark-submit entry point for the production encode job.
+  *
+  * {{{
+  * spark-submit --class graft.EncodeJob graft.jar \
+  *   input=<token-table-path> out=<output-dir> \
+  *   [tokensPerChunk=4194304] [waves=16] [verify=true] [inputSplit=<tag>]
+  * }}}
+  *
+  * Reads the token table (doc_id, tokens, n_tok, source), runs the
+  * resumable chunk-encode pipeline ([[graft.engine.Pipeline.run]]),
+  * optionally round-trip-verifies, and prints one JSON report line.
+  * Re-running the same command after a failure resumes: completed
+  * chunks are skipped via the lineage table's left_anti join.
+  *
+  * No master/parallelism is set here — spark-submit owns cluster
+  * sizing (the north rule's N vs 4N executors); the job's explicit
+  * chunk partitioning + AQE do the rest.
+  */
+object EncodeJob {
+  def main(args: Array[String]): Unit = {
+    val opts = args.map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"expected key=value, got '$a'")
+      a.substring(0, i) -> a.substring(i + 1)
+    }.toMap
+    val input = opts("input")
+    val out = opts("out")
+    val tokensPerChunk = opts.getOrElse("tokensPerChunk",
+      Chunker.DefaultTokensPerChunk.toString).toLong
+    val waves = opts.getOrElse("waves", "16").toInt
+    val doVerify = opts.getOrElse("verify", "true").toBoolean
+    val inputSplit = opts.getOrElse("inputSplit", input)
+
+    val spark = SparkSession.builder()
+      .appName("graft-encode")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val ds = spark.read.parquet(input).as[TokenRow]
+    val t0 = System.nanoTime()
+    val report = Pipeline.run(spark, ds, out, tokensPerChunk, waves, inputSplit)
+    val encodeSecs = (System.nanoTime() - t0) / 1e9
+
+    val verifyJson = if (doVerify) {
+      val v = Verifier.verify(ds, Pipeline.readChunks(spark, out))
+      require(v.ok, s"round-trip verification FAILED: $v")
+      s""","verify":{"ok":true,"rows":${v.sourceRows},"tokens":${v.sourceTokens}}"""
+    } else ""
+
+    println(
+      s"""{"job":"graft-encode","input":"$input","out":"$out",""" +
+        s""""chunksEncoded":${report.chunksEncoded},"chunksSkipped":${report.chunksSkipped},""" +
+        s""""rows":${report.rows},"tokens":${report.tokens},""" +
+        s""""rawBytes":${report.rawBytes},"encodedBytes":${report.encodedBytes},""" +
+        f""""encodeSecs":$encodeSecs%.2f$verifyJson}""")
+    spark.stop()
+  }
+}

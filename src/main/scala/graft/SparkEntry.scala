@@ -257,6 +257,36 @@ object SparkEntry {
         .orderBy(col("label"))
     }),
 
+    // partition-pruned selective decode: only chunks of one source are
+    // decoded (single-source chunks by construction; the chunks table is
+    // Hive-partitioned by part_source, so at rest this read touches one
+    // directory). Oracle-checked: a mixed-source chunk would emit wrong
+    // rows and fail the compare.
+    "q23_decode_pruned" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val chunks = Encoder.encodeTable(tokenTable(s, dir), tokensPerChunk = 16384)
+      Decoder.decode(chunks.filter(col("part_source") === "src1"))
+        .map(r => (r.doc_id.toLong, r.n_tok.toLong))
+        .toDF("doc_id", "n_tok")
+        .orderBy(col("doc_id"))
+    }),
+
+    // multimodal: opaque binary payload + typed metadata, oracle-checked
+    // on byte length and content fingerprint (DuckDB md5(VARCHAR) hashes
+    // the same UTF-8 bytes Spark's md5(binary) sees)
+    "q22_media_meta" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      graft.multimodal.Media.fromDocuments(t(s, dir, "documents"))
+        .map(r => (r.doc_id, r.media_type, r.payload.length.toLong))
+        .toDF("doc_id", "media_type", "n_bytes")
+        .join(
+          t(s, dir, "documents").select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("fp")),
+          Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- rows-only entries (not ANSI-SQL-expressible identically) ----
 
     // ANN: brute-force cosine top-5 for 3 probe vectors (float math —
@@ -304,13 +334,55 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // multimodal feature extraction: batched mapPartitions kernel over
+    // binary payloads (decode step stubbed — see Media.MediaDecoder.Stub;
+    // histogram/byte math downstream of the stub is real integer math)
+    "q33_media_features" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      graft.multimodal.Media
+        .extractFeatures(graft.multimodal.Media.fromDocuments(t(s, dir, "documents")))
+        .map(f => (f.doc_id, f.media_type, f.n_bytes, f.histogram.mkString(",")))
+        .toDF("doc_id", "media_type", "n_bytes", "hist16")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ANN scale path: random-hyperplane LSH bucketing (deterministic
+    // hash-derived planes), cosine ranked only within each probe's
+    // bucket — the candidate set shrinks ~2^bits-fold vs q30's brute
+    // force, which is the property that survives a 100x scale-up
+    "q34_ann_lsh" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val spark = s
+      import spark.implicits._
+      val sigOf = (emb: Array[Float]) => graft.similarity.Lsh.signature(emb, nBits = 8)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long"), col("embedding"), col("label"))
+        .as[(Long, Array[Float], Int)]
+        .map { case (id, emb, _) => (id, emb, sigOf(emb)) }
+        .toDF("vec_id", "embedding", "sig")
+      val probes = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("sig"))
+      val dot = expr("aggregate(zip_with(embedding, qe, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+      val na = expr("sqrt(aggregate(transform(embedding, x -> x * x), 0D, (a, x) -> a + double(x)))")
+      val nb = expr("sqrt(aggregate(transform(qe, x -> x * x), 0D, (a, x) -> a + double(x)))")
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      e.join(broadcast(probes), Seq("sig"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", dot / (na * nb))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vec_id"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // engine lineage surface: chunk plan + codec choices on testdata
     "q32_encode_lineage" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
       Encoder.encodeTable(tokenTable(s, dir), tokensPerChunk = 16384)
         .toDF()
-        .select(col("chunk_id"), col("n_rows"), col("n_tokens"),
+        .select(col("chunk_id"), col("part_source"), col("n_rows"), col("n_tokens"),
           col("codec_tokens"), col("codec_source"),
           col("raw_bytes"), col("encoded_bytes"))
         .orderBy(col("chunk_id"))
@@ -461,6 +533,18 @@ object SparkEntry {
 
     "q21_embed_stats" ->
       """SELECT label, count(*) AS n, min(vec_id) AS min_id, max(vec_id) AS max_id
-        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "q23_decode_pruned" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tok
+        |FROM documents WHERE source = 'src1' ORDER BY doc_id""".stripMargin,
+
+    "q22_media_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |       WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -3,24 +3,34 @@ package graft.engine
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Deterministic, skew-aware chunk assignment.
+/** Deterministic, skew-aware, source-clustered chunk assignment.
   *
-  * chunk ids are derived from the data (xxhash64 of doc_id), never from
-  * time or randomness, so re-runs reproduce identical chunks — the
-  * property that makes resume-from-lineage sound (the reference gets the
-  * same reproducibility from its global sort + rowsPerShard ceiling
-  * math, reference: convert/convert.go:765, 777-784).
+  * chunk ids are derived from the data (xxhash64 of source/doc_id),
+  * never from time or randomness, so re-runs reproduce identical chunks
+  * — the property that makes resume-from-lineage sound (the reference
+  * gets the same reproducibility from its global sort + rowsPerShard
+  * ceiling math, reference: convert/convert.go:765, 777-784).
   *
-  * Skew handling is token-weighted, not row-weighted: a base bucket
-  * whose `sum(n_tok)` exceeds the budget is split into
-  * ceil(sum/budget) sub-buckets by a second hash. At 100 TB the base
-  * hash is near-uniform, but long-tail n_tok distributions (single docs
-  * up to 32k+ tokens) and hot sources make the explicit second level
-  * the safety net — the analog of the reference's greedy shard cuts on
-  * row/column overflow (convert/convert.go:799-844).
+  * Chunks are **single-source**: buckets are allocated per source in
+  * proportion to its token mass. That is the analog of the reference's
+  * sorted-by-label layout (convert/convert.go:547-554) re-expressed for
+  * a hash world: it is what lets the decode path prune whole chunks by
+  * `part_source` (Hive partition pruning / parquet row-group stats)
+  * instead of reading everything, makes the source column a constant
+  * (free RLE), and keeps per-source token distributions together where
+  * dictionaries/FoR frames fit tighter.
+  *
+  * Skew handling is token-weighted, not row-weighted, at two levels:
+  * source-level (a 70%-mass source gets 70% of the buckets) and
+  * bucket-level (a base bucket whose `sum(n_tok)` exceeds the budget is
+  * split into ceil(sum/budget) sub-buckets by a second hash) — the
+  * analog of the reference's greedy shard cuts on row/column overflow
+  * (convert/convert.go:799-844). Both pre-passes are column-only scans
+  * with map-side partial aggregation; at 100 TB they read two small
+  * columns, never the payload.
   */
 object Chunker {
-  /** Max split factor per base bucket; chunk_id = base * MaxSplit + salt. */
+  /** Max split factor per base bucket (second-level skew salting). */
   final val MaxSplit = 1 << 16
 
   /** Default token budget per chunk: ~4M tokens = 16 MB of int32 —
@@ -29,25 +39,39 @@ object Chunker {
     */
   final val DefaultTokensPerChunk = 4L << 20
 
-  /** Plan result: the input with a `chunk_id` column attached. */
+  /** Plan result: the input with `chunk_id` attached. Deterministic:
+    * chunk_id = xxhash64(source, base-bucket-in-source, salt), where
+    * base = xxhash64(doc_id) mod (buckets of this source) and salt
+    * splits overweight buckets.
+    */
   def assignChunks(
       df: DataFrame,
       tokensPerChunk: Long = DefaultTokensPerChunk
   ): DataFrame = {
-    val spark = df.sparkSession
-    // one cheap column-only scan: total token mass (null on empty input)
-    val totalRow = df.agg(sum(col("n_tok"))).first()
-    val totalTokens = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
-    val numBase = math.max(1L, (totalTokens + tokensPerChunk - 1) / tokensPerChunk)
+    // pre-pass 1: token mass per source -> base bucket count per source.
+    // |sources| is tiny relative to rows; broadcast it.
+    val perSource = df
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("src_tokens"))
+      .select(
+        col("source"),
+        greatest(
+          lit(1L),
+          ceil(col("src_tokens").cast("double") / tokensPerChunk).cast("long")
+        ).as("num_base"))
 
-    val withBase = df.withColumn("base_id", pmod(xxhash64(col("doc_id")), lit(numBase)))
+    val withBase = df
+      .join(broadcast(perSource), Seq("source"))
+      .withColumn("base_id", pmod(xxhash64(col("doc_id")), col("num_base")))
+      .drop("num_base")
 
-    // token-weighted per-bucket mass -> split factors for the overweight.
-    // Map-side partial aggregation keeps this a light pre-pass.
+    // pre-pass 2: token-weighted per-bucket mass -> split factors for
+    // the overweight minority (long-tail n_tok / hot hash buckets).
     val splits = withBase
-      .groupBy(col("base_id"))
+      .groupBy(col("source"), col("base_id"))
       .agg(sum(col("n_tok")).as("bucket_tokens"))
       .select(
+        col("source"),
         col("base_id"),
         greatest(
           lit(1),
@@ -60,13 +84,14 @@ object Chunker {
       .where(col("split") > 1) // broadcast only the skewed minority
 
     withBase
-      .join(broadcast(splits), Seq("base_id"), "left")
+      .join(broadcast(splits), Seq("source", "base_id"), "left")
       .withColumn("split", coalesce(col("split"), lit(1)))
       .withColumn(
         "chunk_id",
-        col("base_id") * MaxSplit +
-          pmod(xxhash64(col("doc_id"), lit("salt")), col("split").cast("long"))
-      )
+        xxhash64(
+          col("source"),
+          col("base_id"),
+          pmod(xxhash64(col("doc_id"), lit("salt")), col("split").cast("long"))))
       .drop("base_id", "split")
   }
 

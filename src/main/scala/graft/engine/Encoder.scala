@@ -96,6 +96,9 @@ object Encoder {
       docIdsEnc.length + sourcesEnc.length
     EncodedChunk(
       chunk_id = chunkId,
+      // chunks are single-source by construction (Chunker allocates
+      // buckets per source); first row's source names the partition
+      part_source = if (n > 0) sources(0) else "",
       n_rows = n,
       n_tokens = toks.len.toLong,
       codec_tokens = ct.name,
@@ -114,18 +117,41 @@ object Encoder {
 
   /** Dataset[ChunkedRow] → Dataset[EncodedChunk].
     *
-    * flatMapSortedGroups gives a secondary sort by doc_id inside each
-    * chunk via Spark's shuffle machinery (no per-group in-memory sort),
-    * making chunk payloads byte-deterministic across runs and cheaper
-    * to compress (sorted doc_ids delta/FSST-compress better).
+    * Repartition on the chunk_id COLUMN (not groupByKey on a lambda):
+    * a typed groupByKey would deserialize every row map-side — copying
+    * every tokens array — just to extract a key that already exists as
+    * a column. Column-based repartition shuffles Tungsten binary rows
+    * untouched; rows are deserialized exactly once, reduce-side, inside
+    * the encode kernel. sortWithinPartitions gives the secondary sort
+    * by doc_id (chunk payloads byte-deterministic across runs — the
+    * property lineage checksums and resume rely on — and sorted
+    * doc_ids delta/FSST-compress better).
     */
   def encode(chunks: Dataset[ChunkedRow]): Dataset[EncodedChunk] = {
     val spark = chunks.sparkSession
     import spark.implicits._
-    chunks
-      .groupByKey(_.chunk_id)
-      .flatMapSortedGroups(col("doc_id")) { (id, rows) =>
-        Iterator.single(encodeChunk(id, rows))
+    chunks.toDF()
+      .repartition(col("chunk_id"))
+      .sortWithinPartitions(col("chunk_id"), col("doc_id"))
+      .as[ChunkedRow]
+      .mapPartitions { rows =>
+        // group consecutive rows sharing chunk_id (partition is sorted)
+        new Iterator[EncodedChunk] {
+          private var head: ChunkedRow = if (rows.hasNext) rows.next() else null
+          def hasNext: Boolean = head != null
+          def next(): EncodedChunk = {
+            val id = head.chunk_id
+            val group = new Iterator[ChunkedRow] {
+              def hasNext: Boolean = head != null && head.chunk_id == id
+              def next(): ChunkedRow = {
+                val r = head
+                head = if (rows.hasNext) rows.next() else null
+                r
+              }
+            }
+            encodeChunk(id, group)
+          }
+        }
       }
   }
 

@@ -29,6 +29,7 @@ final case class ChunkedRow(
   */
 final case class EncodedChunk(
     chunk_id: Long,
+    part_source: String,
     n_rows: Int,
     n_tokens: Long,
     codec_tokens: String,
@@ -51,6 +52,7 @@ final case class EncodedChunk(
   */
 final case class LineageRecord(
     chunk_id: Long,
+    part_source: String,
     input_split: String,
     codec_tokens: String,
     codec_lengths: String,

@@ -46,6 +46,7 @@ object Pipeline {
   private def lineageFromChunks(chunks: DataFrame, inputSplit: String): DataFrame =
     chunks.select(
       col("chunk_id"),
+      col("part_source"),
       lit(inputSplit).as("input_split"),
       col("codec_tokens"), col("codec_lengths"),
       col("codec_doc_id"), col("codec_source"),
@@ -127,8 +128,13 @@ object Pipeline {
       // zstd whole-file compression on top of our per-column codecs —
       // the reference's layering too (parquet encodings under zstd,
       // reference: schema/schema.go:38-75)
+      // Hive-partitioned by source: a decode for one source touches only
+      // its directory (partition pruning — the Spark-native analog of
+      // the reference's stats-driven row-range pruning on its sorted
+      // layout, reference: search/constraint.go:394-433)
       enc.write.mode(SaveMode.Append)
         .option("compression", "zstd")
+        .partitionBy("part_source")
         .parquet(chunksPath(outDir))
       val writtenAll = spark.read
         .schema(org.apache.spark.sql.Encoders.product[EncodedChunk].schema)

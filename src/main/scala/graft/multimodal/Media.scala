@@ -1,0 +1,144 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, decoded/feature-extracted by a
+  * pluggable per-partition kernel.
+  *
+  * The Spark-side plumbing is real and tested — schema, deterministic
+  * partitioning, batched per-partition kernel calls, feature schema —
+  * while the actual media decode is a clearly-marked STUB (this
+  * container ships no image/audio libs): [[MediaDecoder.Stub]] is a
+  * deterministic fake whose output depends only on the payload bytes,
+  * so round-trips and oracles stay reproducible.
+  *
+  * Design mirrors the engine's chunk kernels (SURVEY.md §4.3): media
+  * payloads are whole-cell `Array[Byte]` transforms inside
+  * `mapPartitions`; Catalyst expressions or per-row UDFs would add
+  * per-row overhead and buy nothing. At 100 TB the payload column
+  * dominates I/O, so every query below projects the narrowest column
+  * set and the feature extractor runs once per partition batch, not
+  * once per row.
+  */
+object Media {
+
+  /** One media row: opaque payload + typed metadata. */
+  final case class MediaRow(
+      doc_id: Long,
+      media_type: String, // "image" | "audio" | "video"
+      payload: Array[Byte],
+      width: Int, // pixels (image/video) or sample-rate/100 (audio)
+      height: Int, // pixels, 0 for audio
+      n_frames: Int // 1 for image, >1 for video/audio windows
+  )
+
+  /** Extracted features: fixed-shape vector + scalar summary stats. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      mean_byte: Double,
+      histogram: Array[Long] // 16 bins over byte values
+  )
+
+  /** Pluggable decoder. A real deployment would register JNI/codec-lib
+    * backed implementations per media_type; the sandbox has none, so
+    * [[Stub]] provides the deterministic fake mandated by the brief.
+    */
+  trait MediaDecoder extends Serializable {
+    /** Decode a payload into a "frame" byte plane. STUB CONTRACT: the
+      * real implementation would JPEG/PNG/PCM-decode; the stub is an
+      * identity view so downstream feature math is still exercised on
+      * realistic byte distributions.
+      */
+    def decodeFrames(row: MediaRow): Array[Array[Byte]]
+  }
+
+  object MediaDecoder {
+    /** STUB decode: splits the payload into `n_frames` equal slices —
+      * a deterministic fake standing in for a real image/audio decoder
+      * (none ships in this container). Everything downstream of this
+      * call is real.
+      */
+    object Stub extends MediaDecoder {
+      def decodeFrames(row: MediaRow): Array[Array[Byte]] = {
+        val n = math.max(1, row.n_frames)
+        val len = row.payload.length
+        val per = math.max(1, len / n)
+        Array.tabulate(n) { i =>
+          val from = math.min(len, i * per)
+          val to = if (i == n - 1) len else math.min(len, from + per)
+          java.util.Arrays.copyOfRange(row.payload, from, to)
+        }
+      }
+    }
+  }
+
+  /** Synthesize a deterministic media table from the documents table:
+    * payload = UTF-8 bytes of `text` (the opaque-binary stand-in),
+    * media_type routed by doc_id, metadata derived from sizes. No
+    * randomness — any row is reproducible from its source row alone.
+    */
+  def fromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        col("doc_id").cast("long"),
+        encode(col("text"), "UTF-8").as("payload"),
+        col("n_chars").cast("int"))
+      .as[(Long, Array[Byte], Int)]
+      .map { case (id, payload, nChars) =>
+        val mt = (id % 3) match {
+          case 0 => "image"
+          case 1 => "audio"
+          case _ => "video"
+        }
+        val frames = mt match {
+          case "image" => 1
+          case "video" => 1 + (nChars % 7)
+          case _       => 1 + (nChars % 3)
+        }
+        // fake-but-typed metadata: a real ingest would parse headers
+        val w = 16 + (id % 64).toInt
+        val h = if (mt == "audio") 0 else 16 + (id % 48).toInt
+        MediaRow(id, mt, payload, w, h, frames)
+      }
+  }
+
+  /** Batched per-partition feature extraction. The per-frame loop is
+    * the hot path a real decoder would occupy; the byte-histogram math
+    * after the (stubbed) decode is real and deterministic.
+    */
+  def extractFeatures(
+      ds: Dataset[MediaRow],
+      decoder: MediaDecoder = MediaDecoder.Stub
+  ): Dataset[MediaFeatures] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val frames = decoder.decodeFrames(r)
+        val hist = new Array[Long](16)
+        var sum = 0L
+        var n = 0L
+        var f = 0
+        while (f < frames.length) {
+          val fr = frames(f)
+          var i = 0
+          while (i < fr.length) {
+            val b = fr(i) & 0xff
+            hist(b >>> 4) += 1
+            sum += b
+            n += 1
+            i += 1
+          }
+          f += 1
+        }
+        MediaFeatures(r.doc_id, r.media_type, n,
+          if (n == 0) 0.0 else sum.toDouble / n, hist)
+      }
+    }
+  }
+}

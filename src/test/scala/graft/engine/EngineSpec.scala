@@ -48,8 +48,21 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ds = Fixtures.tokenTable(spark, 500, seed = 2, medianLen = 256, maxLen = 1024, partitions = 2)
     val nChunksTight = Chunker.chunked(ds, tokensPerChunk = 8 * 1024).select("chunk_id").distinct().count()
     val nChunksLoose = Chunker.chunked(ds, tokensPerChunk = 1 << 28).select("chunk_id").distinct().count()
-    assert(nChunksLoose == 1L)
+    val nSources = ds.toDF().select("source").distinct().count()
+    // loose budget: exactly one chunk per source (chunks are single-source)
+    assert(nChunksLoose == nSources, s"expected $nSources chunks, got $nChunksLoose")
     assert(nChunksTight > 4L, s"expected salting to split, got $nChunksTight chunks")
+  }
+
+  test("chunks are single-source (enables decode-side partition pruning)") {
+    import spark.implicits._
+    val ds = Fixtures.tokenTable(spark, 2000, seed = 9, medianLen = 128, maxLen = 4096, partitions = 4)
+    val mixed = Chunker.chunked(ds, tokensPerChunk = 64 * 1024)
+      .groupBy("chunk_id")
+      .agg(org.apache.spark.sql.functions.countDistinct("source").as("n_src"))
+      .filter(org.apache.spark.sql.functions.col("n_src") > 1)
+      .count()
+    assert(mixed == 0L, s"$mixed chunks mix sources")
   }
 
   test("encode -> decode round-trip is bit-identical (keystone)") {
