@@ -30,7 +30,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (128MB row groups) + vectorized reader batches of array<int32> rows
   // — 8g OOMs on the 1B-token bench corpus
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  // encode kernels handle multi-MB column chunks; 32m regions keep those
-  // buffers out of G1's humongous slow path under 32-way concurrency
-  "-XX:G1HeapRegionSize=32m",
+  // ParallelGC, not G1: repeated encode jobs under G1 degrade
+  // progressively (measured 32s -> 66s -> 137s for identical runs;
+  // in-thread CPU inflating 10x with near-zero reported GC pause —
+  // G1 region-management slow paths charge the allocating threads).
+  // ParallelGC holds steady (32s -> 21s -> 24s) and is the right
+  // throughput collector for batch encode anyway.
+  "-XX:+UseParallelGC",
 )

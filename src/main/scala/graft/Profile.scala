@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import graft.engine.{Chunker, Encoder, TokenRow}
 
 /** Stage-level profiling harness for the encode path (dev tool).
@@ -12,17 +13,28 @@ object Profile {
     val cpus = args(0).toInt
     val inputPath = args(1)
     val tokensPerChunk = if (args.length > 2) args(2).toLong else 2L * 1024 * 1024
+    val batchSize = sys.env.getOrElse("PROFILE_BATCH", "512")
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-profile-$cpus")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.parquet.columnarReaderBatchSize", batchSize)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val m = i.taskMetrics
+        val wall = (for { s <- i.submissionTime; c <- i.completionTime } yield (c - s) / 1e3).getOrElse(-1.0)
+        println(f"[stage ${i.stageId}%3d] tasks=${i.numTasks}%3d wall=$wall%7.1fs cpu=${m.executorCpuTime / 1e9}%7.1fs run=${m.executorRunTime / 1e3}%7.1fs gc=${m.jvmGCTime / 1e3}%6.1fs shW=${m.shuffleWriteMetrics.bytesWritten / 1e6}%7.0fMB shR=${m.shuffleReadMetrics.totalBytesRead / 1e6}%7.0fMB spillD=${m.diskBytesSpilled / 1e6}%6.0fMB spillM=${m.memoryBytesSpilled / 1e6}%8.0fMB  ${i.name.take(60)}")
+      }
+    })
 
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -32,13 +44,9 @@ object Profile {
     }
 
     val ds = spark.read.parquet(inputPath).as[TokenRow]
-
-    // parallelism diagnostics
-    val scanParts = ds.rdd.getNumPartitions
-    println(s"[profile] scan partitions: $scanParts  (maxPartitionBytes=${spark.conf.get("spark.sql.files.maxPartitionBytes")})")
+    println(s"[profile] scan partitions: ${ds.rdd.getNumPartitions} batchSize=$batchSize")
 
     time("scan: count")(ds.count())
-    time("scan: sum(n_tok)")(ds.agg(sum("n_tok")).first())
     time("scan+materialize rows (tokens)")(
       ds.mapPartitions(it => Iterator.single(it.map(_.tokens.length.toLong).sum)).reduce(_ + _))
 
@@ -53,14 +61,11 @@ object Profile {
     val n1 = time("encode: full, to noop")(enc.mapPartitions(it => it.map(_.chunk_id)).count())
     println(s"[profile] chunks: $n1")
 
-    // post-encode partitions (AQE-decided)
-    val encPlan = Encoder.encodeTable(ds, tokensPerChunk)
     time("encode: full + zstd parquet write") {
-      encPlan.write.mode("overwrite").option("compression", "zstd")
+      Encoder.encodeTable(ds, tokensPerChunk)
+        .write.mode("overwrite").option("compression", "zstd")
         .parquet(s"/tmp/graft-profile-out-$cpus")
     }
-    val written = spark.read.parquet(s"/tmp/graft-profile-out-$cpus")
-    println(s"[profile] written files partitions: ${written.rdd.getNumPartitions}")
     spark.stop()
   }
 }

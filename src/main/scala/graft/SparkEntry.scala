@@ -257,6 +257,17 @@ object SparkEntry {
         .orderBy(col("label"))
     }),
 
+    // §2.7 set ops: INTERSECT / EXCEPT (row-range intersect/complement
+    // analog, reference: search/rowrange.go:50-132)
+    "q24_intersect_except" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = d.filter(col("n_chars") > 200).select(col("doc_id"))
+      val b = d.filter(col("source").isin("src1", "src2", "src3")).select(col("doc_id"))
+      a.intersect(b).withColumn("op", lit("both"))
+        .union(a.except(b).withColumn("op", lit("only_long")))
+        .orderBy(col("op"), col("doc_id"))
+    }),
+
     // partition-pruned selective decode: only chunks of one source are
     // decoded (single-source chunks by construction; the chunks table is
     // Hive-partitioned by part_source, so at rest this read touches one
@@ -534,6 +545,14 @@ object SparkEntry {
     "q21_embed_stats" ->
       """SELECT label, count(*) AS n, min(vec_id) AS min_id, max(vec_id) AS max_id
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "q24_intersect_except" ->
+      """WITH a AS (SELECT doc_id FROM documents WHERE n_chars > 200),
+        |b AS (SELECT doc_id FROM documents WHERE source IN ('src1','src2','src3'))
+        |SELECT doc_id, 'both' AS op FROM (SELECT doc_id FROM a INTERSECT SELECT doc_id FROM b)
+        |UNION ALL
+        |SELECT doc_id, 'only_long' AS op FROM (SELECT doc_id FROM a EXCEPT SELECT doc_id FROM b)
+        |ORDER BY op, doc_id""".stripMargin,
 
     "q23_decode_pruned" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tok
