@@ -73,6 +73,16 @@ object Bench {
     walk(new java.io.File(p))
   }
 
+  /** Total stolen vCPU jiffies since boot (this Firecracker host sees
+    * multi-minute storms of 1-4 stolen cores that make a single pass
+    * 3-10x slow). Returns -1 when unavailable (non-Linux).
+    */
+  private def stealJiffies(): Long =
+    try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      line.trim.split("\\s+")(8).toLong // cpu: user nice sys idle iowait irq sirq STEAL
+    } catch { case _: Throwable => -1L }
+
   private def childEncode(cpus: Int, inputPath: String, outPath: String,
                           tokensPerChunk: Long, runs: Int): Unit = {
     // 6 tasks/core: several waves per stage so stragglers and skew
@@ -84,35 +94,60 @@ object Bench {
     // outputs on RAM-backed scratch (see fastScratch): the one sandbox
     // disk can't scale 4x and would mask CPU scaling
     val outBase = s"${fastScratch(s"out-$cpus")}/enc"
+    val maxPasses = runs * 3 // storm-retry budget (passes)
+    val retryBudgetNs = // and wall-clock: storms can outlast any pass count
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVEL_BUDGET_SECS", "480").toLong * 1000000000L
+    val tStart = System.nanoTime()
     var best = Double.MaxValue
+    var bestAny = Double.MaxValue // fallback if storms never let up
+    var valid = 0
     var i = 0
-    while (i <= runs) { // pass 0 is the unmeasured JIT warm-up
+    var lastRun = 0
+    while (i <= maxPasses && (valid < runs || i <= runs) &&
+           (i <= runs || System.nanoTime() - tStart < retryBudgetNs)) {
+      val s0 = stealJiffies()
       val t0 = System.nanoTime()
       Encoder.encodeTable(ds, tokensPerChunk)
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("part_source") // the production (Pipeline) layout
         .parquet(s"$outBase-run$i")
       val secs = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench-child] local[$cpus] pass$i: $secs%.2fs")
-      if (i > 0 && secs < best) best = secs
+      val stolen = if (s0 < 0) 0.0 else (stealJiffies() - s0) / 100.0
+      // a pass is storm-polluted when stolen vCPU-time exceeds 5% of
+      // the cores this run was allotted (pass 0 is JIT warm-up, never
+      // counted either way)
+      val polluted = stolen > 0.05 * cpus * secs
+      System.err.println(
+        f"[bench-child] local[$cpus] pass$i: $secs%.2fs (stolen ${stolen}%.1fs${if (polluted) ", storm-polluted" else ""})")
+      if (i > 0) {
+        if (secs < bestAny) bestAny = secs
+        if (!polluted) {
+          valid += 1
+          if (secs < best) best = secs
+        }
+      }
       if (i > 0) rmTree(s"$outBase-run${i - 1}") // bound tmpfs usage
+      lastRun = i
       i += 1
     }
-    val agg = spark.read.parquet(s"$outBase-run$runs")
+    if (valid == 0) { // storms never let up: degrade gracefully, flag it
+      System.err.println(s"[bench-child] WARNING: all measured passes storm-polluted")
+      best = bestAny
+    }
+    val agg = spark.read.parquet(s"$outBase-run$lastRun")
       .agg(sum("n_tokens"), sum("encoded_bytes"), count(lit(1))).first()
-    // persist the last run to the caller-visible path for the size bar
-    val bytes = graft.engine.Verifier.dirBytes(s"$outBase-run$runs")
-    println(s"ENCODE_RESULT $best ${agg.getLong(0)} ${agg.getLong(1)} ${agg.getLong(2)} $bytes")
-    rmTree(s"$outBase-run$runs")
+    val bytes = graft.engine.Verifier.dirBytes(s"$outBase-run$lastRun")
+    println(s"ENCODE_RESULT $best ${agg.getLong(0)} ${agg.getLong(1)} ${agg.getLong(2)} $bytes $valid")
+    rmTree(s"$outBase-run$lastRun")
     rmTree(fastScratch(s"local-$cpus"))
     spark.stop()
   }
 
   /** Fork a fresh JVM running childEncode; returns
-    * (bestSecs, tokens, encodedBytes, chunks, onDiskBytes).
+    * (bestSecs, tokens, encodedBytes, chunks, onDiskBytes, validPasses).
     */
   private def forkEncode(cpus: Int, inputPath: String, outPath: String,
-                         tokensPerChunk: Long, runs: Int): (Double, Long, Long, Long, Long) = {
+                         tokensPerChunk: Long, runs: Int): (Double, Long, Long, Long, Long, Int) = {
     val java = System.getProperty("java.home") + "/bin/java"
     val xmx = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
     val cmd = Seq(java, s"-Xmx$xmx", "-XX:+UseParallelGC") ++ addOpens ++ Seq(
@@ -130,7 +165,8 @@ object Bench {
     val line = out.linesIterator.find(_.startsWith("ENCODE_RESULT"))
       .getOrElse(sys.error(s"no ENCODE_RESULT from child: $out"))
     val parts = line.split(" ")
-    (parts(1).toDouble, parts(2).toLong, parts(3).toLong, parts(4).toLong, parts(5).toLong)
+    (parts(1).toDouble, parts(2).toLong, parts(3).toLong, parts(4).toLong,
+      parts(5).toLong, parts(6).toInt)
   }
 
   def main(args: Array[String]): Unit = {
@@ -184,9 +220,9 @@ object Bench {
     SparkSession.clearDefaultSession()
 
     val tokensPerChunk = graft.engine.Chunker.DefaultTokensPerChunk
-    val (secsLow, toks, _, _, _) =
+    val (secsLow, toks, _, _, _, validLow) =
       forkEncode(lowCpus, inputPath, s"$base/out$lowCpus", tokensPerChunk, runs)
-    val (secsHigh, _, encBytes, nChunks, ourBytes) =
+    val (secsHigh, _, encBytes, nChunks, ourBytes, validHigh) =
       forkEncode(highCpus, inputPath, s"$base/out$highCpus", tokensPerChunk, runs)
 
     val thrLow = toks / secsLow
@@ -200,6 +236,7 @@ object Bench {
       f""""encode":{"rows":$benchRows,"tokens":$toks,"chunks":$nChunks,""" +
         f""""cpus_low":$lowCpus,"cpus_high":$highCpus,""" +
         f""""secs_low":$secsLow%.2f,"secs_high":$secsHigh%.2f,""" +
+        f""""clean_passes_low":$validLow,"clean_passes_high":$validHigh,""" +
         f""""tokens_per_sec_low":${thrLow.toLong},"tokens_per_sec_high":${thrHigh.toLong},""" +
         f""""scaling_efficiency":$eff%.3f,""" +
         f""""encoded_bytes":$encBytes,"bytes_per_token":${encBytes.toDouble / toks}%.4f,""" +

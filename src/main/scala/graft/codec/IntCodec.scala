@@ -127,6 +127,45 @@ object IntCodec {
     }
   }
 
+  /** Frame-of-reference with byte-plane decomposition: offsets are
+    * stored as w whole-byte planes (all byte-0s, then all byte-1s, ...)
+    * instead of interleaved — the BYTE_STREAM_SPLIT idea applied to
+    * FoR offsets. Pre-zstd it costs the same as [[ForAligned]]; post-
+    * zstd it usually wins on skewed (Zipf-like) token streams because
+    * the high-byte plane is near-constant and the low-byte plane keeps
+    * its local repetition undiluted. Only ever chosen by the zstd-aware
+    * trial.
+    */
+  case object ForSplit extends IntCodec {
+    val id: Byte = 7; val name = "forsplit"
+    def encode(a: Array[Int], from: Int, n: Int, out: ByteSink): Unit = {
+      out.addByte(id); writeUvarint(out, n)
+      if (n == 0) return
+      var mn = a(from); var mx = a(from)
+      var i = 1
+      while (i < n) {
+        val v = a(from + i)
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      writeUvarint(out, zigzag(mn))
+      val w = (bitsLong(mx.toLong - mn.toLong) + 7) / 8
+      out.addByte(w.toByte)
+      out.ensure(w * n + 8)
+      var plane = 0
+      while (plane < w) {
+        val shift = plane * 8
+        i = 0
+        while (i < n) {
+          out.addByte(((a(from + i) - mn) >>> shift).toByte)
+          i += 1
+        }
+        plane += 1
+      }
+    }
+  }
+
   /** Run-length encoding: (zigzag-varint value, uvarint run length)*. */
   case object Rle extends IntCodec {
     val id: Byte = 4; val name = "rle"
@@ -200,7 +239,7 @@ object IntCodec {
     }
   }
 
-  val all: Seq[IntCodec] = Seq(Plain, BitPack, For, ForDelta, Rle, Dict, ForAligned)
+  val all: Seq[IntCodec] = Seq(Plain, BitPack, For, ForDelta, Rle, Dict, ForAligned, ForSplit)
   private val byId: Array[IntCodec] = {
     val arr = new Array[IntCodec](all.map(_.id.toInt).max + 1)
     all.foreach(c => arr(c.id) = c)
@@ -260,6 +299,24 @@ object IntCodec {
           val run = r.readUvarint()
           java.util.Arrays.fill(dst, i, i + run, v)
           i += run
+        }
+      case 7 => // forsplit
+        if (n > 0) {
+          val mn = unzigzag(r.readUvarint())
+          val w = r.readByte() & 0xff
+          val b = r.buf
+          val p0 = r.pos
+          var plane = 0
+          while (plane < w) {
+            val shift = plane * 8
+            val pp = p0 + plane * n
+            var i = 0
+            while (i < n) { dst(i) |= (b(pp + i) & 0xff) << shift; i += 1 }
+            plane += 1
+          }
+          var i = 0
+          while (i < n) { dst(i) += mn; i += 1 }
+          r.pos = p0 + w * n
         }
       case 5 => // dict
         if (n > 0) {

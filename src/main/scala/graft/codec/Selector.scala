@@ -124,6 +124,9 @@ object Selector {
       case IntCodec.ForAligned =>
         hdr + uvarintSize(zigzag(s.min)) + 1 +
           BitIO.packedBytes(s.n, (s.rangeWidth + 7) / 8 * 8).toLong
+      case IntCodec.ForSplit =>
+        hdr + uvarintSize(zigzag(s.min)) + 1 +
+          ((s.rangeWidth + 7) / 8).toLong * s.n
       case IntCodec.ForDelta =>
         hdr + uvarintSize(zigzag(s.min)) + 1 +
           BitIO.packedBytes(s.n - 1, bitsLong(s.maxZigzagDelta)).toLong
@@ -218,10 +221,11 @@ object Selector {
         stats(sample, 0, m).copy(n = n)
       }
     val ranked = IntCodec.all.sortBy(c => estimate(c, s))
-    // ForAligned and Plain are always trialed: they lose pre-zstd by
-    // construction but often win post-zstd (byte alignment)
+    // ForAligned/ForSplit/Plain are always trialed: they lose pre-zstd
+    // by construction but often win post-zstd (byte alignment / plane
+    // decomposition)
     val candidates =
-      (ranked.take(2) :+ IntCodec.Plain :+ IntCodec.ForAligned).distinct
+      (ranked.take(2) :+ IntCodec.Plain :+ IntCodec.ForAligned :+ IntCodec.ForSplit).distinct
 
     val (tFrom, tN) =
       if (n <= TrialValues) (from, n)
