@@ -40,13 +40,21 @@ object Chunker {
   final val DefaultTokensPerChunk = 4L << 20
 
   /** Plan result: the input with `chunk_id` attached. Deterministic:
-    * chunk_id = xxhash64(source, base-bucket-in-source, salt), where
-    * base = xxhash64(doc_id) mod (buckets of this source) and salt
-    * splits overweight buckets.
+    * chunk_id = xxhash64(planTag, source, base-bucket-in-source, salt),
+    * where base = xxhash64(doc_id) mod (buckets of this source) and
+    * salt splits overweight buckets.
+    *
+    * `planTag` scopes chunk identity to one input split: the plan
+    * (bucket counts) is a function of the split's token mass, so two
+    * DIFFERENT splits (e.g. two streaming micro-batches) would otherwise
+    * collide on chunk ids and the resume left_anti would silently drop
+    * the later split's data. Same split + same data → same ids
+    * (resume/replay idempotence); different split → disjoint ids.
     */
   def assignChunks(
       df: DataFrame,
-      tokensPerChunk: Long = DefaultTokensPerChunk
+      tokensPerChunk: Long = DefaultTokensPerChunk,
+      planTag: String = ""
   ): DataFrame = {
     // pre-pass 1: token mass per source -> base bucket count per source.
     // |sources| is tiny relative to rows; broadcast it.
@@ -89,6 +97,7 @@ object Chunker {
       .withColumn(
         "chunk_id",
         xxhash64(
+          lit(planTag),
           col("source"),
           col("base_id"),
           pmod(xxhash64(col("doc_id"), lit("salt")), col("split").cast("long"))))
@@ -98,11 +107,12 @@ object Chunker {
   /** Typed variant producing ChunkedRow. */
   def chunked(
       ds: Dataset[TokenRow],
-      tokensPerChunk: Long = DefaultTokensPerChunk
+      tokensPerChunk: Long = DefaultTokensPerChunk,
+      planTag: String = ""
   ): Dataset[ChunkedRow] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    assignChunks(ds.toDF(), tokensPerChunk)
+    assignChunks(ds.toDF(), tokensPerChunk, planTag)
       .select("chunk_id", "doc_id", "tokens", "n_tok", "source")
       .as[ChunkedRow]
   }

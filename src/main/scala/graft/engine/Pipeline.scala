@@ -85,7 +85,10 @@ object Pipeline {
   ): EncodeReport = {
     import spark.implicits._
 
-    val planned = Chunker.chunked(input, tokensPerChunk)
+    // inputSplit scopes chunk identity (Chunker.assignChunks planTag):
+    // re-running the SAME split resumes/replays idempotently; a
+    // different split gets disjoint chunk ids
+    val planned = Chunker.chunked(input, tokensPerChunk, planTag = inputSplit)
 
     // chunks already durable from a previous (partial) run
     val completed: Option[DataFrame] =
