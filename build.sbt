@@ -37,4 +37,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // ParallelGC holds steady (32s -> 21s -> 24s) and is the right
   // throughput collector for batch encode anyway.
   "-XX:+UseParallelGC",
+  // size GC for the cores a job actually uses, not the host's 32 vCPUs:
+  // the default (23 threads) makes young GCs take seconds under
+  // co-tenant pressure (bench children override per-level)
+  "-XX:ParallelGCThreads=8",
 )

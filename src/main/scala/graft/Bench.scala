@@ -150,7 +150,12 @@ object Bench {
                          tokensPerChunk: Long, runs: Int): (Double, Long, Long, Long, Long, Int) = {
     val java = System.getProperty("java.home") + "/bin/java"
     val xmx = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
-    val cmd = Seq(java, s"-Xmx$xmx", "-XX:+UseParallelGC") ++ addOpens ++ Seq(
+    // GC threads sized to the child's core allotment, NOT the host's 32
+    // vCPUs: a local[2] JVM defaults to 23 GC threads, and under
+    // co-tenant pressure each young GC then takes SECONDS (measured
+    // 183s across 38 young GCs — the dominant cost of a whole pass)
+    val cmd = Seq(java, s"-Xmx$xmx", "-XX:+UseParallelGC",
+      s"-XX:ParallelGCThreads=${math.max(2, cpus)}") ++ addOpens ++ Seq(
       "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
       "graft.Bench", "encode", cpus.toString, inputPath, outPath,

@@ -193,6 +193,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE-style pre-tokenizer counting (regex runs of letters / digits /
+    // punctuation) — the same pattern string is the DuckDB oracle
+    "q25_token_count_bpe" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(graft.text.Analyzer.BpeIshPattern), lit(0)))
+            .cast("long").as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // document fingerprinting (full-text md5)
     "q17_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -387,6 +397,70 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // winnowing fingerprints (rolling-hash k-grams + window minima,
+    // SIGMOD 2003) — near-dup detection robust to local edits
+    "q35_winnow_fingerprint" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val fp = graft.text.Analyzer.winnow(text)
+          (id, fp.length.toLong, if (fp.isEmpty) 0L else fp.min)
+        }
+        .toDF("doc_id", "n_fingerprints", "min_fp")
+        .orderBy(col("doc_id"))
+    }),
+
+    // n-gram (bigram-profile) language-ID heuristic
+    "q36_langid_ngram" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .map { case (_, lang, text) => (lang, graft.text.Analyzer.langId(text)) }
+        .toDF("lang", "predicted")
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
+    // embedding-cosine near-duplicate pairs: multi-band LSH candidate
+    // generation (4 bands x 4 hyperplane bits; equi self-join per band,
+    // distinct pairs across bands), exact-cosine confirmation — the
+    // banding recall/cost trade that survives 10^9 vectors, where the
+    // brute-force q30 cross join does not
+    "q37_embed_neardup" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val bands = 4
+      val bitsPerBand = 4
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .map { case (id, emb) =>
+          val full = graft.similarity.Lsh.signature(emb, nBits = bands * bitsPerBand)
+          val sigs = Array.tabulate(bands)(b => (full >>> (b * bitsPerBand)) & ((1 << bitsPerBand) - 1))
+          (id, emb, sigs)
+        }
+        .toDF("vec_id", "embedding", "sigs")
+      val banded = e.select(col("vec_id"), col("embedding"),
+        posexplode(col("sigs")).as(Seq("band", "sig")))
+      val l = banded.select(col("band"), col("sig"), col("vec_id").as("a"), col("embedding").as("ea"))
+      val r = banded.select(col("band"), col("sig"), col("vec_id").as("b"), col("embedding").as("eb"))
+      val dot = expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+      val na = expr("sqrt(aggregate(transform(ea, x -> x * x), 0D, (acc, x) -> acc + double(x)))")
+      val nb = expr("sqrt(aggregate(transform(eb, x -> x * x), 0D, (acc, x) -> acc + double(x)))")
+      l.join(r, Seq("band", "sig"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"), col("ea"), col("eb"))
+        .dropDuplicates("a", "b") // a pair may collide in several bands
+        .withColumn("cos", dot / (na * nb))
+        .filter(col("cos") > 0.4)
+        .select(col("a"), col("b"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // engine lineage surface: chunk plan + codec choices on testdata
     "q32_encode_lineage" -> ((s, dir) => {
       val spark = s
@@ -494,6 +568,14 @@ object SparkEntry {
 
     "q17_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+
+    // DuckDB single-quoted strings are literal (no backslash escapes),
+    // so the Java pattern string drops in verbatim; \s means the same
+    // whitespace class in RE2 and java.util.regex for this corpus
+    "q25_token_count_bpe" ->
+      ("""SELECT doc_id, CAST(len(regexp_extract_all(text, '""" +
+        graft.text.Analyzer.BpeIshPattern +
+        """')) AS BIGINT) AS n_bpe_tokens FROM documents ORDER BY doc_id"""),
 
     "q18_minhash" ->
       """SELECT doc_id,
