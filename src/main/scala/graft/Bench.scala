@@ -149,13 +149,17 @@ object Bench {
   private def forkEncode(cpus: Int, inputPath: String, outPath: String,
                          tokensPerChunk: Long, runs: Int): (Double, Long, Long, Long, Long, Int) = {
     val java = System.getProperty("java.home") + "/bin/java"
-    val xmx = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
-    // GC threads sized to the child's core allotment, NOT the host's 32
-    // vCPUs: a local[2] JVM defaults to 23 GC threads, and under
-    // co-tenant pressure each young GC then takes SECONDS (measured
-    // 183s across 38 young GCs — the dominant cost of a whole pass)
+    // Heap AND GC threads sized to the child's core allotment, NOT the
+    // host's 32 vCPUs. Two measured failure modes otherwise: (a) a
+    // local[2] JVM defaults to 23 GC threads and under co-tenant
+    // pressure each young GC takes seconds (183s over 38 GCs); (b) a
+    // 24g heap means ~8GB young-gen copy phases whose STW window gets
+    // stretched enormously when steal hits mid-pause — small cores get
+    // small heaps so pauses stay short. Mirrors real executor sizing
+    // (a 2-core executor never gets 24g).
+    val xmx = sys.env.getOrElse("SPARK_DRIVER_MEM", s"${math.min(32, math.max(8, 3 * cpus))}g")
     val cmd = Seq(java, s"-Xmx$xmx", "-XX:+UseParallelGC",
-      s"-XX:ParallelGCThreads=${math.max(2, cpus)}") ++ addOpens ++ Seq(
+      s"-XX:ParallelGCThreads=${math.max(4, cpus)}") ++ addOpens ++ Seq(
       "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
       "graft.Bench", "encode", cpus.toString, inputPath, outPath,
