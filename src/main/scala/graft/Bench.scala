@@ -83,8 +83,14 @@ object Bench {
       line.trim.split("\\s+")(8).toLong // cpu: user nice sys idle iowait irq sirq STEAL
     } catch { case _: Throwable => -1L }
 
-  private def childEncode(cpus: Int, inputPath: String, outPath: String,
-                          tokensPerChunk: Long, runs: Int): Unit = {
+  /** Child "serve" mode: warm up once, then run ONE measured encode
+    * pass per "pass" command on stdin. The parent interleaves passes of
+    * the local[N] and local[4N] children so each efficiency pair is
+    * measured seconds apart under the SAME ambient conditions — a
+    * sequential per-level min-of-K can pair a clean window at one level
+    * with a stormy one at the other and report garbage efficiency.
+    */
+  private def childServe(cpus: Int, inputPath: String, tokensPerChunk: Long): Unit = {
     // 6 tasks/core: several waves per stage so stragglers and skew
     // average out — the same sizing philosophy as a real cluster
     val spark = session(cpus, cpus * 6)
@@ -94,93 +100,101 @@ object Bench {
     // outputs on RAM-backed scratch (see fastScratch): the one sandbox
     // disk can't scale 4x and would mask CPU scaling
     val outBase = s"${fastScratch(s"out-$cpus")}/enc"
-    val maxPasses = runs * 3 // storm-retry budget (passes)
-    val retryBudgetNs = // and wall-clock: storms can outlast any pass count
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVEL_BUDGET_SECS", "480").toLong * 1000000000L
-    val tStart = System.nanoTime()
-    var best = Double.MaxValue
-    var bestAny = Double.MaxValue // fallback if storms never let up
-    var valid = 0
-    var i = 0
-    var lastRun = 0
-    while (i <= maxPasses && (valid < runs || i <= runs) &&
-           (i <= runs || System.nanoTime() - tStart < retryBudgetNs)) {
+
+    def onePass(tag: String): (Double, Double) = {
       val s0 = stealJiffies()
       val t0 = System.nanoTime()
       Encoder.encodeTable(ds, tokensPerChunk)
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("part_source") // the production (Pipeline) layout
-        .parquet(s"$outBase-run$i")
+        .parquet(s"$outBase-$tag")
       val secs = (System.nanoTime() - t0) / 1e9
       val stolen = if (s0 < 0) 0.0 else (stealJiffies() - s0) / 100.0
-      // a pass is storm-polluted when stolen vCPU-time exceeds 5% of
-      // the cores this run was allotted (pass 0 is JIT warm-up, never
-      // counted either way)
-      val polluted = stolen > 0.05 * cpus * secs
-      System.err.println(
-        f"[bench-child] local[$cpus] pass$i: $secs%.2fs (stolen ${stolen}%.1fs${if (polluted) ", storm-polluted" else ""})")
-      if (i > 0) {
-        if (secs < bestAny) bestAny = secs
-        if (!polluted) {
-          valid += 1
-          if (secs < best) best = secs
-        }
+      System.err.println(f"[bench-child] local[$cpus] $tag: $secs%.2fs (stolen $stolen%.1fs)")
+      (secs, stolen)
+    }
+
+    onePass("warmup") // JIT warm-up, never measured
+    println("READY"); Console.flush()
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
+    var cont = true
+    var lastTag = "warmup"
+    while (cont) {
+      in.readLine() match {
+        case "pass" =>
+          val tag = s"m${System.nanoTime()}" // unique dir per pass
+          val (secs, stolen) = onePass(tag)
+          rmTree(s"$outBase-$lastTag") // bound tmpfs usage
+          lastTag = tag
+          println(f"PASS $secs%.4f $stolen%.2f"); Console.flush()
+        case _ => // "quit" / EOF
+          val last = s"$outBase-$lastTag"
+          val agg = spark.read.parquet(last)
+            .agg(sum("n_tokens"), sum("encoded_bytes"), count(lit(1))).first()
+          val bytes = graft.engine.Verifier.dirBytes(last)
+          println(s"FINAL ${agg.getLong(0)} ${agg.getLong(1)} ${agg.getLong(2)} $bytes")
+          Console.flush()
+          rmTree(last)
+          rmTree(fastScratch(s"local-$cpus"))
+          spark.stop()
+          cont = false
       }
-      if (i > 0) rmTree(s"$outBase-run${i - 1}") // bound tmpfs usage
-      lastRun = i
-      i += 1
     }
-    if (valid == 0) { // storms never let up: degrade gracefully, flag it
-      System.err.println(s"[bench-child] WARNING: all measured passes storm-polluted")
-      best = bestAny
-    }
-    val agg = spark.read.parquet(s"$outBase-run$lastRun")
-      .agg(sum("n_tokens"), sum("encoded_bytes"), count(lit(1))).first()
-    val bytes = graft.engine.Verifier.dirBytes(s"$outBase-run$lastRun")
-    println(s"ENCODE_RESULT $best ${agg.getLong(0)} ${agg.getLong(1)} ${agg.getLong(2)} $bytes $valid")
-    rmTree(s"$outBase-run$lastRun")
-    rmTree(fastScratch(s"local-$cpus"))
-    spark.stop()
   }
 
-  /** Fork a fresh JVM running childEncode; returns
-    * (bestSecs, tokens, encodedBytes, chunks, onDiskBytes, validPasses).
-    */
-  private def forkEncode(cpus: Int, inputPath: String, outPath: String,
-                         tokensPerChunk: Long, runs: Int): (Double, Long, Long, Long, Long, Int) = {
-    val java = System.getProperty("java.home") + "/bin/java"
+  /** Handle on a forked serve-mode child. */
+  private final class ServeChild(cpus: Int, inputPath: String, tokensPerChunk: Long) {
+    private val javaBin = System.getProperty("java.home") + "/bin/java"
     // Heap AND GC threads sized to the child's core allotment, NOT the
     // host's 32 vCPUs. Two measured failure modes otherwise: (a) a
     // local[2] JVM defaults to 23 GC threads and under co-tenant
     // pressure each young GC takes seconds (183s over 38 GCs); (b) a
     // 24g heap means ~8GB young-gen copy phases whose STW window gets
-    // stretched enormously when steal hits mid-pause — small cores get
-    // small heaps so pauses stay short. Mirrors real executor sizing
-    // (a 2-core executor never gets 24g).
-    val xmx = sys.env.getOrElse("SPARK_DRIVER_MEM", s"${math.min(32, math.max(8, 3 * cpus))}g")
-    val cmd = Seq(java, s"-Xmx$xmx", "-XX:+UseParallelGC",
-      s"-XX:ParallelGCThreads=${math.max(4, cpus)}") ++ addOpens ++ Seq(
-      "-Dspark.ui.enabled=false",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.Bench", "encode", cpus.toString, inputPath, outPath,
-      tokensPerChunk.toString, runs.toString)
-    val pb = new ProcessBuilder(cmd: _*)
-    pb.redirectErrorStream(false)
-    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-    val p = pb.start()
-    val out = new String(p.getInputStream.readAllBytes())
-    val code = p.waitFor()
-    require(code == 0, s"bench child (cpus=$cpus) exited $code")
-    val line = out.linesIterator.find(_.startsWith("ENCODE_RESULT"))
-      .getOrElse(sys.error(s"no ENCODE_RESULT from child: $out"))
-    val parts = line.split(" ")
-    (parts(1).toDouble, parts(2).toLong, parts(3).toLong, parts(4).toLong,
-      parts(5).toLong, parts(6).toInt)
+    // stretched enormously when steal lands mid-pause — small cores get
+    // small heaps so pauses stay short. Mirrors real executor sizing.
+    private val xmx = sys.env.getOrElse("SPARK_DRIVER_MEM",
+      s"${math.min(32, math.max(8, 3 * cpus))}g")
+    private val p = {
+      val cmd = Seq(javaBin, s"-Xmx$xmx", "-XX:+UseParallelGC",
+        s"-XX:ParallelGCThreads=${math.max(4, cpus)}") ++ addOpens ++ Seq(
+        "-Dspark.ui.enabled=false",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.Bench", "serve", cpus.toString, inputPath, tokensPerChunk.toString)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      pb.start()
+    }
+    private val out = new java.io.BufferedReader(new java.io.InputStreamReader(p.getInputStream))
+    private val cmdIn = new java.io.PrintWriter(p.getOutputStream, true)
+
+    private def readTagged(tag: String): String = {
+      var line = out.readLine()
+      while (line != null && !line.startsWith(tag)) line = out.readLine()
+      require(line != null, s"bench child local[$cpus] died before '$tag'")
+      line
+    }
+
+    def awaitReady(): Unit = { readTagged("READY"); () }
+
+    /** One measured pass → (secs, stolenVcpuSecs). */
+    def pass(): (Double, Double) = {
+      cmdIn.println("pass")
+      val parts = readTagged("PASS").split(" ")
+      (parts(1).toDouble, parts(2).toDouble)
+    }
+
+    /** Stop the child → (tokens, encodedBytes, chunks, onDiskBytes). */
+    def quit(): (Long, Long, Long, Long) = {
+      cmdIn.println("quit")
+      val parts = readTagged("FINAL").split(" ")
+      p.waitFor()
+      (parts(1).toLong, parts(2).toLong, parts(3).toLong, parts(4).toLong)
+    }
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.length >= 6 && args(0) == "encode") {
-      childEncode(args(1).toInt, args(2), args(3), args(4).toLong, args(5).toInt)
+    if (args.length >= 4 && args(0) == "serve") {
+      childServe(args(1).toInt, args(2), args(3).toLong)
       return
     }
 
@@ -229,10 +243,39 @@ object Bench {
     SparkSession.clearDefaultSession()
 
     val tokensPerChunk = graft.engine.Chunker.DefaultTokensPerChunk
-    val (secsLow, toks, _, _, _, validLow) =
-      forkEncode(lowCpus, inputPath, s"$base/out$lowCpus", tokensPerChunk, runs)
-    val (secsHigh, _, encBytes, nChunks, ourBytes, validHigh) =
-      forkEncode(highCpus, inputPath, s"$base/out$highCpus", tokensPerChunk, runs)
+
+    // Interleaved paired measurement: both children stay alive; each
+    // efficiency pair is (low pass, high pass) run back-to-back so both
+    // levels see the same ambient conditions. A pair is clean when
+    // neither pass lost >5% of its allotted vCPU-time to steal; among
+    // clean pairs the one with the least combined normalized time wins.
+    val low = new ServeChild(lowCpus, inputPath, tokensPerChunk)
+    val high = new ServeChild(highCpus, inputPath, tokensPerChunk)
+    low.awaitReady(); high.awaitReady()
+
+    val budgetNs =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_LEVEL_BUDGET_SECS", "600").toLong * 1000000000L
+    val t0 = System.nanoTime()
+    val maxPairs = runs * 3
+    var pairs = List.empty[(Double, Double, Boolean)] // (secsLow, secsHigh, clean)
+    var cleanPairs = 0
+    var i = 0
+    while (i < maxPairs && (cleanPairs < runs || i < runs) &&
+           (i < runs || System.nanoTime() - t0 < budgetNs)) {
+      val (sl, stl) = low.pass()
+      val (sh, sth) = high.pass()
+      val clean = stl <= 0.05 * lowCpus * sl && sth <= 0.05 * highCpus * sh
+      System.err.println(f"[bench] pair$i: low $sl%.2fs high $sh%.2fs${if (clean) "" else " (storm-polluted)"}")
+      pairs ::= (sl, sh, clean)
+      if (clean) cleanPairs += 1
+      i += 1
+    }
+    val candidates = if (cleanPairs > 0) pairs.filter(_._3) else pairs
+    val (secsLow, secsHigh, _) = candidates.minBy { case (sl, sh, _) => sl + 4 * sh }
+    val validLow = cleanPairs
+    val validHigh = cleanPairs
+    val (toks, encBytes, nChunks, ourBytes) = high.quit()
+    low.quit()
 
     val thrLow = toks / secsLow
     val thrHigh = toks / secsHigh
