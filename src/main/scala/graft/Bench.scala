@@ -73,6 +73,22 @@ object Bench {
     walk(new java.io.File(p))
   }
 
+  /** Single-thread CPU canary: fixed busy loop, returns seconds. The
+    * host shows periods of 3-10x CPU throttling with near-zero reported
+    * steal (co-tenant pressure below the hypervisor's steal accounting);
+    * the canary makes that visible in the output so absolute throughput
+    * numbers can be interpreted. ~0.4s on this host when clean.
+    */
+  private def canarySecs(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < 300000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    val s = (System.nanoTime() - t0) / 1e9
+    if (x == 42L) System.err.println("") // keep the loop alive
+    s
+  }
+
   /** Total stolen vCPU jiffies since boot (this Firecracker host sees
     * multi-minute storms of 1-4 stolen cores that make a single pass
     * 3-10x slow). Returns -1 when unavailable (non-Linux).
@@ -259,13 +275,16 @@ object Bench {
     val maxPairs = runs * 3
     var pairs = List.empty[(Double, Double, Boolean)] // (secsLow, secsHigh, clean)
     var cleanPairs = 0
+    var bestCanary = canarySecs()
     var i = 0
     while (i < maxPairs && (cleanPairs < runs || i < runs) &&
            (i < runs || System.nanoTime() - t0 < budgetNs)) {
       val (sl, stl) = low.pass()
       val (sh, sth) = high.pass()
       val clean = stl <= 0.05 * lowCpus * sl && sth <= 0.05 * highCpus * sh
-      System.err.println(f"[bench] pair$i: low $sl%.2fs high $sh%.2fs${if (clean) "" else " (storm-polluted)"}")
+      val cn = canarySecs()
+      System.err.println(f"[bench] pair$i: low $sl%.2fs high $sh%.2fs canary $cn%.2fs${if (clean) "" else " (storm-polluted)"}")
+      if (cn < bestCanary) bestCanary = cn
       pairs ::= (sl, sh, clean)
       if (clean) cleanPairs += 1
       i += 1
@@ -289,6 +308,7 @@ object Bench {
         f""""cpus_low":$lowCpus,"cpus_high":$highCpus,""" +
         f""""secs_low":$secsLow%.2f,"secs_high":$secsHigh%.2f,""" +
         f""""clean_passes_low":$validLow,"clean_passes_high":$validHigh,""" +
+        f""""ambient_canary_secs":$bestCanary%.2f,""" +
         f""""tokens_per_sec_low":${thrLow.toLong},"tokens_per_sec_high":${thrHigh.toLong},""" +
         f""""scaling_efficiency":$eff%.3f,""" +
         f""""encoded_bytes":$encBytes,"bytes_per_token":${encBytes.toDouble / toks}%.4f,""" +
