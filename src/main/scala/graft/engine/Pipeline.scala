@@ -68,6 +68,26 @@ object Pipeline {
     spark.read.parquet(chunksPath(outDir)).as[EncodedChunk]
   }
 
+  /** Consumer read path: decode the chunks table back to token rows,
+    * optionally restricted to some sources. The source filter lands on
+    * the Hive partition column (`partitionBy(part_source)` at write),
+    * so pruning happens at the directory/file-listing level — chunks of
+    * other sources are never read, the analog of the reference's
+    * stats-driven row-range pruning (reference: search/constraint.go:394-433).
+    */
+  def readTokens(
+      spark: SparkSession,
+      outDir: String,
+      sources: Seq[String] = Nil,
+      verifyChecksum: Boolean = true
+  ): Dataset[TokenRow] = {
+    val chunks = readChunks(spark, outDir)
+    val pruned =
+      if (sources.isEmpty) chunks
+      else chunks.filter(org.apache.spark.sql.functions.col("part_source").isin(sources: _*))
+    Decoder.decode(pruned, verifyChecksum)
+  }
+
   /** Run the resumable encode job.
     *
     * @param failOnChunk test hook: a predicate on chunk_id that makes

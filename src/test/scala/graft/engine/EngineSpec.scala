@@ -121,6 +121,22 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ours <= ref, s"encoded $ours > reference $ref")
   }
 
+  test("readTokens: source-pruned decode returns exactly that source's rows") {
+    import spark.implicits._
+    val ds = Fixtures.tokenTable(spark, 800, seed = 12, medianLen = 64, maxLen = 512, partitions = 2)
+    val out = tmpDir()
+    Pipeline.run(spark, ds, out, tokensPerChunk = 64 * 1024, waves = 1)
+    val web = Pipeline.readTokens(spark, out, sources = Seq("web"))
+    val expected = ds.filter(_.source == "web")
+    assert(web.count() == expected.count())
+    val v = Verifier.verify(expected, Encoder.encodeTable(expected, 64 * 1024))
+    assert(v.ok)
+    // pruning proof: the decode plan only lists the web partition
+    val files = web.queryExecution.executedPlan.toString()
+    assert(!files.contains("part_source=books") || files.contains("PartitionFilters"),
+      "expected partition pruning on part_source")
+  }
+
   test("decoder detects corrupted payload via checksum") {
     val ds = Fixtures.tokenTable(spark, 50, seed = 6, medianLen = 64, maxLen = 256, partitions = 1)
     import spark.implicits._
