@@ -211,13 +211,18 @@ object SparkEntry {
     }),
 
     // MinHash signatures over word 3-shingles, 4 hash families (md5
-    // salted) — deterministic and oracle-checkable
+    // salted) — deterministic and oracle-checkable. Docs with < 3 words
+    // must yield an EMPTY shingle set: unguarded `sequence(1, size-2)`
+    // is descending for size<3 and `element_at(words, 0)` then throws
+    // under Spark 4 ANSI mode, whereas the DuckDB oracle's
+    // `range(1, len-1)` is simply empty — the CASE mirrors that.
     "q18_minhash" -> ((s, dir) => {
       t(s, dir, "documents")
         .withColumn("words", split(col("text"), " "))
         .withColumn("shingles", expr(
-          "transform(sequence(1, size(words)-2), i -> " +
-            "concat_ws(' ', element_at(words,i), element_at(words,i+1), element_at(words,i+2)))"))
+          "CASE WHEN size(words) >= 3 THEN transform(sequence(1, size(words)-2), i -> " +
+            "concat_ws(' ', element_at(words,i), element_at(words,i+1), element_at(words,i+2))) " +
+            "ELSE CAST(array() AS array<string>) END"))
         .select(
           col("doc_id"),
           expr("array_min(transform(shingles, x -> md5(concat(x,'#0'))))").as("mh0"),
@@ -244,9 +249,11 @@ object SparkEntry {
     "q20_ngram_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents").filter(col("doc_id") < 25)
         .withColumn("words", split(col("text"), " "))
+        // same short-doc guard as q18 (empty shingle set, not ANSI error)
         .withColumn("sh", expr(
-          "array_distinct(transform(sequence(1, size(words)-2), i -> " +
-            "concat_ws(' ', element_at(words,i), element_at(words,i+1), element_at(words,i+2))))"))
+          "CASE WHEN size(words) >= 3 THEN array_distinct(transform(sequence(1, size(words)-2), i -> " +
+            "concat_ws(' ', element_at(words,i), element_at(words,i+1), element_at(words,i+2)))) " +
+            "ELSE CAST(array() AS array<string>) END"))
         .select(col("doc_id"), col("sh"))
       val probe = d.filter(col("doc_id") === 0)
         .select(col("sh").as("probe_sh"))

@@ -34,7 +34,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Round-1 post-mortem: the driver looks oracles up under the output
+    // FILE name (`qNN_name.parquet`), while round 1 emitted bare
+    // `qNN_name` keys — every lookup missed and all 33 queries came back
+    // `no_oracle`. Emit BOTH key forms, and additionally a standalone
+    // `<name>.sql` beside each output dir, so any of the three lookup
+    // conventions finds the SQL.
+    val entries = SparkEntry.oracleSql.flatMap { case (k, v) =>
+      Files.writeString(Paths.get(s"$outDir/$k.sql"), v)
+      Seq(k -> v, s"$k.parquet" -> v)
+    }
+    val json = entries
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
