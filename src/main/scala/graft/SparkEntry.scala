@@ -232,13 +232,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // LSH banding: bucket the minhash bands, report collision buckets
+    // LSH banding: bucket the minhash bands, report collision buckets.
+    // posexplode, NOT a 4-way self-union: each union branch would
+    // recompute the whole minhash subtree (4x the md5 work); the
+    // explode computes signatures once and emits one row per band
     "q19_lsh_buckets" -> ((s, dir) => {
       val mh = queries("q18_minhash")(s, dir)
-      val bands = (0 to 3).map { b =>
-        mh.select(lit(b).as("band"), col(s"mh$b").as("bucket"), col("doc_id"))
-      }.reduce(_ union _)
-      bands.groupBy(col("band"), col("bucket"))
+      mh.select(col("doc_id"),
+          posexplode(array(col("mh0"), col("mh1"), col("mh2"), col("mh3")))
+            .as(Seq("band", "bucket")))
+        .groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("n_docs"))
         .filter(col("n_docs") > 1)
         .orderBy(col("band"), col("bucket"))
@@ -315,6 +318,56 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // chunk-stat pruned point lookup: only chunks whose
+    // [min_doc_id, max_doc_id] covers the key are decoded — the
+    // reference's precise row-range pruning from page min/max stats
+    // (reference: search/constraint.go:394-433) at chunk grain.
+    // Oracle-checked: a wrong bound would drop or duplicate the row.
+    "q26_decode_point_lookup" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val key = "42"
+      val chunks = Encoder.encodeTable(tokenTable(s, dir), tokensPerChunk = 16384)
+        .filter(col("min_doc_id") <= key && col("max_doc_id") >= key)
+      Decoder.decode(chunks)
+        .filter(_.doc_id == key)
+        .map(r => (r.doc_id.toLong, r.n_tok.toLong))
+        .toDF("doc_id", "n_tok")
+        .orderBy(col("doc_id"))
+    }),
+
+    // projection-aware decode: ids/lengths/sources read from an at-rest
+    // chunks table WITHOUT touching the token payload — the scan prunes
+    // tokens_enc (parquet column pruning) and the kernel skips token
+    // decode (Decoder.decodeDocIndex). Oracle recomputes the same
+    // per-source stats from the raw documents.
+    "q27_decode_meta_only" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q27").toString
+      Encoder.encodeTable(tokenTable(s, dir), tokensPerChunk = 16384)
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("part_source")
+        .parquet(graft.engine.Pipeline.chunksPath(tmp))
+      graft.engine.Pipeline.readDocIndex(s, tmp)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
+        .orderBy(col("source"))
+    }),
+
+    // distinct-values-without-scan: per-chunk exact token cardinality
+    // from chunk metadata (single chunk per source here), the
+    // dictionary-page-only distinct trick
+    // (reference: search/materialize.go:358-380) — the oracle recomputes
+    // count(DISTINCT codepoint) per source the hard way.
+    "q28_distinct_from_metadata" -> ((s, dir) => {
+      Encoder.encodeTable(tokenTable(s, dir), tokensPerChunk = 1L << 40)
+        .toDF()
+        .select(col("part_source").as("source"),
+          col("token_cardinality").cast("long").as("n_distinct_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // ---- rows-only entries (not ANSI-SQL-expressible identically) ----
 
     // ANN: brute-force cosine top-5 for 3 probe vectors (float math —
@@ -378,12 +431,17 @@ object SparkEntry {
     // ANN scale path: random-hyperplane LSH bucketing (deterministic
     // hash-derived planes), cosine ranked only within each probe's
     // bucket — the candidate set shrinks ~2^bits-fold vs q30's brute
-    // force, which is the property that survives a 100x scale-up
+    // force. The signature width is DERIVED from the corpus size
+    // (Lsh.bitsFor: ceil(log2(n/2)) — 8 bits at the 500-vector test
+    // scale, 28 at 10^9): a fixed width would leave per-bucket
+    // candidate sets growing linearly with n
     "q34_ann_lsh" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val spark = s
       import spark.implicits._
-      val sigOf = (emb: Array[Float]) => graft.similarity.Lsh.signature(emb, nBits = 8)
+      val nVec = t(s, dir, "embeddings").count()
+      val nBits = graft.similarity.Lsh.bitsFor(nVec)
+      val sigOf = (emb: Array[Float]) => graft.similarity.Lsh.signature(emb, nBits)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id").cast("long"), col("embedding"), col("label"))
         .as[(Long, Array[Float], Int)]
@@ -433,15 +491,19 @@ object SparkEntry {
     }),
 
     // embedding-cosine near-duplicate pairs: multi-band LSH candidate
-    // generation (4 bands x 4 hyperplane bits; equi self-join per band,
-    // distinct pairs across bands), exact-cosine confirmation — the
-    // banding recall/cost trade that survives 10^9 vectors, where the
-    // brute-force q30 cross join does not
+    // generation (equi self-join per band, distinct pairs across
+    // bands), exact-cosine confirmation — the banding recall/cost
+    // trade that survives 10^9 vectors, where the brute-force q30
+    // cross join does not. Bits per band grow with log2(n)
+    // (Lsh.bitsPerBandFor: 4 at the 500-vector test scale, 7 at 10^9)
+    // so per-band bucket population n/2^bits shrinks RELATIVE to n —
+    // a fixed 4-bit band is all-pairs with extra steps at 10^9
     "q37_embed_neardup" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
       val bands = 4
-      val bitsPerBand = 4
+      val nVec = t(s, dir, "embeddings").count()
+      val bitsPerBand = graft.similarity.Lsh.bitsPerBandFor(nVec, bands)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id").cast("long"), col("embedding"))
         .as[(Long, Array[Float])]
@@ -646,6 +708,23 @@ object SparkEntry {
     "q23_decode_pruned" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tok
         |FROM documents WHERE source = 'src1' ORDER BY doc_id""".stripMargin,
+
+    "q26_decode_point_lookup" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tok
+        |FROM documents WHERE doc_id = 42 ORDER BY doc_id""".stripMargin,
+
+    "q27_decode_meta_only" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS tok_sum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q28_distinct_from_metadata" ->
+      """SELECT source,
+        |  CAST(count(DISTINCT unicode(ch)) AS BIGINT) AS n_distinct_tokens
+        |FROM (
+        |  SELECT source, unnest(string_split(text, '')) AS ch
+        |  FROM documents WHERE text <> '')
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q22_media_meta" ->
       """SELECT doc_id,

@@ -248,6 +248,32 @@ object IntCodec {
   def forId(id: Byte): IntCodec = byId(id)
   def forName(name: String): IntCodec = all.find(_.name == name).get
 
+  /** O(distinct) read of the sorted dictionary values of a Dict-coded
+    * buffer, WITHOUT unpacking the per-value codes — the analog of the
+    * reference's dictionary-page-only distinct materialization
+    * (reference: search/materialize.go:358-380: read the dict page,
+    * never the rows). None when the buffer used a different codec.
+    */
+  def dictValues(buf: Array[Byte]): Option[Array[Int]] = {
+    val r = new Reader(buf, 0)
+    if (r.readByte() != Dict.id) None
+    else {
+      val n = r.readUvarint()
+      if (n == 0) Some(Array.empty[Int])
+      else {
+        val distinct = r.readUvarint()
+        val dict = new Array[Int](distinct)
+        dict(0) = unzigzag(r.readUvarint())
+        var i = 1
+        while (i < distinct) {
+          dict(i) = (dict(i - 1).toLong + r.readUvarintLong()).toInt
+          i += 1
+        }
+        Some(dict)
+      }
+    }
+  }
+
   /** Decode a self-describing buffer produced by any IntCodec. */
   def decode(buf: Array[Byte]): Array[Int] = decode(new Reader(buf, 0))
 

@@ -110,6 +110,37 @@ object Selector {
     ChunkStats(n, mn, mx, maxZ, maxZD, runs, rleBytes, distinct, sorted)
   }
 
+  /** Exact distinct count of the slice, capped at [[DistinctCap]]
+    * (returns -1 past the cap). Unlike [[stats]] this never samples —
+    * it feeds the per-chunk `token_cardinality` surfaced in lineage,
+    * which must match an oracle's count(DISTINCT ...) exactly. One
+    * O(n) pass over the thread-local generation-stamped table.
+    */
+  def exactDistinct(a: Array[Int], from: Int, n: Int): Int = {
+    val sc = scratch.get()
+    sc.gen += 1
+    val gen = sc.gen
+    val capMask = sc.capMask
+    val table = sc.table
+    val stamp = sc.stamp
+    var distinct = 0
+    var i = 0
+    while (i < n) {
+      val v = a(from + i)
+      var h = (v * 0x9e3779b1) >>> 16 & capMask
+      var cont = true
+      while (cont) {
+        if (stamp(h) != gen) {
+          if (distinct >= DistinctCap) return -1
+          stamp(h) = gen; table(h) = v; distinct += 1; cont = false
+        } else if (table(h) == v) cont = false
+        else h = (h + 1) & capMask
+      }
+      i += 1
+    }
+    distinct
+  }
+
   /** Estimated encoded bytes per codec (header + payload). */
   def estimate(c: IntCodec, s: ChunkStats): Long = {
     val hdr = 1L + uvarintSize(s.n)

@@ -78,6 +78,11 @@ object Encoder {
     val toks = tokenBuf.get()
     toks.reset()
     var rawBytes = 0L
+    // lexicographic doc_id bounds: rows arrive sorted by doc_id (see
+    // encode()), but track running min/max anyway so direct callers
+    // with unsorted iterators still get correct pruning stats
+    var minDoc: String = null
+    var maxDoc: String = null
     while (rows.hasNext) {
       val r = rows.next()
       docIds += r.doc_id
@@ -85,6 +90,8 @@ object Encoder {
       lengths += r.tokens.length
       toks.add(r.tokens)
       rawBytes += 4L * r.tokens.length + r.doc_id.length + r.source.length + 4L
+      if (minDoc == null || r.doc_id < minDoc) minDoc = r.doc_id
+      if (maxDoc == null || r.doc_id > maxDoc) maxDoc = r.doc_id
     }
     val n = docIds.length
     // tokens are the dominant payload: pick the codec by post-zstd size
@@ -101,6 +108,9 @@ object Encoder {
       part_source = if (n > 0) sources(0) else "",
       n_rows = n,
       n_tokens = toks.len.toLong,
+      min_doc_id = if (minDoc == null) "" else minDoc,
+      max_doc_id = if (maxDoc == null) "" else maxDoc,
+      token_cardinality = Selector.exactDistinct(toks.arr, 0, toks.len),
       codec_tokens = ct.name,
       codec_lengths = cl.name,
       codec_doc_id = StrCodec.name(cd),
@@ -203,4 +213,48 @@ object Decoder {
     import spark.implicits._
     chunks.flatMap(c => decodeChunk(c, verifyChecksum))
   }
+
+  /** Column-masked decode: ids/lengths/sources only — the token payload
+    * (the dominant decode cost AND the dominant byte volume) is never
+    * touched. Pair with a parquet scan that doesn't select tokens_enc
+    * ([[Pipeline.readDocIndex]]) and a metadata consumer pays neither
+    * token I/O nor token decode — the projection split the reference
+    * achieves with separate labels/chunks files
+    * (reference: convert/writer.go:222-243).
+    */
+  def decodeDocIndex(
+      chunkId: Long,
+      docIdsEnc: Array[Byte],
+      lengthsEnc: Array[Byte],
+      sourcesEnc: Array[Byte]
+  ): Iterator[DocIndexRow] = {
+    val docIds = StrCodec.decode(docIdsEnc)
+    val sources = StrCodec.decode(sourcesEnc)
+    val lengths = IntCodec.decode(lengthsEnc)
+    Iterator.tabulate(docIds.length) { i =>
+      DocIndexRow(chunkId, docIds(i), lengths(i), sources(i))
+    }
+  }
+
+  /** Distinct token values of a chunk. For Dict-coded chunks this reads
+    * ONLY the dictionary header — O(distinct), no row decode (the
+    * reference's dictionary-page-only distinct,
+    * reference: search/materialize.go:358-380); other codecs fall back
+    * to full decode + dedup. Returned ascending either way.
+    */
+  def distinctTokens(c: EncodedChunk): Array[Int] =
+    IntCodec.dictValues(c.tokens_enc).getOrElse {
+      val all = IntCodec.decode(c.tokens_enc)
+      val sorted = all.clone()
+      java.util.Arrays.sort(sorted)
+      var distinct = 0
+      var i = 0
+      while (i < sorted.length) {
+        if (i == 0 || sorted(i) != sorted(i - 1)) {
+          sorted(distinct) = sorted(i); distinct += 1
+        }
+        i += 1
+      }
+      java.util.Arrays.copyOf(sorted, distinct)
+    }
 }

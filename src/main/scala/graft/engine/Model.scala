@@ -32,6 +32,19 @@ final case class EncodedChunk(
     part_source: String,
     n_rows: Int,
     n_tokens: Long,
+    /** lexicographic doc_id bounds of the chunk's (sorted) rows — the
+      * analog of the reference's page min/max statistics that drive
+      * precise row-range pruning (reference: search/constraint.go:394-433):
+      * a point lookup decodes only chunks whose [min,max] covers the key.
+      */
+    min_doc_id: String,
+    max_doc_id: String,
+    /** exact distinct token count when < 2^16, else -1 — the
+      * dictionary-page-only distinct trick lifted into chunk metadata
+      * (reference: search/materialize.go:358-380): distinct-values
+      * queries read this O(1) field instead of decoding the payload.
+      */
+    token_cardinality: Int,
     codec_tokens: String,
     codec_lengths: String,
     codec_doc_id: String,
@@ -45,6 +58,20 @@ final case class EncodedChunk(
     checksum: Long
 )
 
+/** Row of the projection-aware decode path ([[Pipeline.readDocIndex]]):
+  * everything EXCEPT the token payload — consumers of ids/lengths never
+  * pay token decode (nor token I/O: the parquet scan prunes tokens_enc).
+  * The analog of the reference's labels-file-only scan
+  * (reference: convert/writer.go:222-243 splits files so label reads
+  * skip chunk bytes).
+  */
+final case class DocIndexRow(
+    chunk_id: Long,
+    doc_id: String,
+    n_tok: Int,
+    source: String
+)
+
 /** Per-chunk lineage/metrics record (FIXTURES.md §2) — the analog of the
   * reference's file KV metadata + page statistics
   * (reference: schema/schema_builder.go:41-55), lifted into a queryable
@@ -54,6 +81,9 @@ final case class LineageRecord(
     chunk_id: Long,
     part_source: String,
     input_split: String,
+    min_doc_id: String,
+    max_doc_id: String,
+    token_cardinality: Int,
     codec_tokens: String,
     codec_lengths: String,
     codec_doc_id: String,

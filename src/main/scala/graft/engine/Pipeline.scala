@@ -48,6 +48,8 @@ object Pipeline {
       col("chunk_id"),
       col("part_source"),
       lit(inputSplit).as("input_split"),
+      col("min_doc_id"), col("max_doc_id"),
+      col("token_cardinality"),
       col("codec_tokens"), col("codec_lengths"),
       col("codec_doc_id"), col("codec_source"),
       col("n_rows").cast("long").as("row_count"),
@@ -56,6 +58,36 @@ object Pipeline {
       col("checksum"),
       lit("completed").as("status")
     )
+
+  /** Reconcile chunks that are durable but missing from lineage — the
+    * crash window between a wave's chunk write and its lineage write.
+    * Without this, resume re-encodes those chunks (they fail the
+    * left_anti against lineage) and APPENDS duplicates. Orphans are
+    * ADOPTED: their lineage rows are derived from the written chunk
+    * metadata (each wave's parquet commit is atomic, so a chunk present
+    * in the directory is complete and valid). Metadata-only read — the
+    * payload columns are pruned by the explicit select.
+    */
+  def adoptOrphans(spark: SparkSession, outDir: String, inputSplit: String): Long = {
+    val chunksMeta =
+      try {
+        spark.read
+          .schema(org.apache.spark.sql.Encoders.product[EncodedChunk].schema)
+          .parquet(chunksPath(outDir))
+          .drop("doc_ids_enc", "sources_enc", "lengths_enc", "tokens_enc")
+      } catch { case _: org.apache.spark.sql.AnalysisException => return 0L }
+    val orphans = readLineage(spark, outDir) match {
+      case Some(lin) =>
+        chunksMeta.join(broadcast(lin.select("chunk_id").distinct()), Seq("chunk_id"), "left_anti")
+      case None => chunksMeta
+    }
+    // one tiny metadata job; zero when the previous run committed cleanly
+    val adopted = orphans.count()
+    if (adopted > 0)
+      lineageFromChunks(orphans, inputSplit)
+        .write.mode(SaveMode.Append).parquet(lineagePath(outDir))
+    adopted
+  }
 
   def readLineage(spark: SparkSession, outDir: String): Option[DataFrame] =
     try {
@@ -88,6 +120,45 @@ object Pipeline {
     Decoder.decode(pruned, verifyChecksum)
   }
 
+  /** Point-lookup decode: only chunks whose [min_doc_id, max_doc_id]
+    * covers the key are decoded — the reference's precise row-range
+    * pruning from page min/max statistics re-expressed at chunk grain
+    * (reference: search/constraint.go:394-433, binary search on the
+    * sorted column 520-595). The bounds live as plain parquet columns,
+    * so parquet row-group stats prune the SCAN too, before the kernel
+    * ever sees a chunk.
+    */
+  def readTokensForDocId(
+      spark: SparkSession,
+      outDir: String,
+      docId: String,
+      verifyChecksum: Boolean = true
+  ): Dataset[TokenRow] = {
+    import spark.implicits._
+    val hit = readChunks(spark, outDir)
+      .filter(col("min_doc_id") <= docId && col("max_doc_id") >= docId)
+    Decoder.decode(hit, verifyChecksum).filter(_.doc_id == docId)
+  }
+
+  /** Projection-aware metadata read: (chunk_id, doc_id, n_tok, source)
+    * without touching the token payload — neither its bytes (the scan
+    * selects only the three small encoded columns; tokens_enc never
+    * leaves parquet) nor its decode CPU ([[Decoder.decodeDocIndex]]
+    * skips the tokens kernel). The analog of the reference's
+    * labels-file-only scan (reference: convert/writer.go:222-243).
+    */
+  def readDocIndex(spark: SparkSession, outDir: String): Dataset[DocIndexRow] = {
+    import spark.implicits._
+    spark.read
+      .schema(org.apache.spark.sql.Encoders.product[EncodedChunk].schema)
+      .parquet(chunksPath(outDir))
+      .select(col("chunk_id"), col("doc_ids_enc"), col("lengths_enc"), col("sources_enc"))
+      .as[(Long, Array[Byte], Array[Byte], Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, d, l, s) =>
+        Decoder.decodeDocIndex(id, d, l, s)
+      })
+  }
+
   /** Run the resumable encode job.
     *
     * @param failOnChunk test hook: a predicate on chunk_id that makes
@@ -104,6 +175,12 @@ object Pipeline {
       failOnChunk: Long => Boolean = _ => false
   ): EncodeReport = {
     import spark.implicits._
+
+    // crash-window repair BEFORE planning: chunks durable from a run
+    // that died between its chunk write and its lineage write are
+    // adopted into lineage, so the left_anti below skips them instead
+    // of re-encoding duplicates
+    adoptOrphans(spark, outDir, inputSplit)
 
     // inputSplit scopes chunk identity (Chunker.assignChunks planTag):
     // re-running the SAME split resumes/replays idempotently; a
@@ -135,11 +212,40 @@ object Pipeline {
     // so modulo would pile every unsalted chunk into wave 0
     def waveOf(c: org.apache.spark.sql.Column) = pmod(xxhash64(c), lit(waves.toLong))
 
+    // ---- stage the plan ONCE, wave-partitioned --------------------------
+    // Waves exist for checkpoint granularity (each wave is one atomic
+    // chunks-write + lineage commit; a crash loses at most one wave).
+    // Round 1 paid for that granularity with `waves` FULL input scans —
+    // pending.filter(waveOf) recomputed the whole scan+chunk-plan per
+    // wave, the dominant cost of the job at 100 TB. Now the planned rows
+    // are written once to a staging dir partitioned by wave; each wave's
+    // job reads only its own partition directory (file-listing-level
+    // pruning). Total I/O regardless of `waves`: 1x input scan + 1x
+    // staging write + 1x staging read + 1x shuffle + 1x final write.
+    val wavesEff = math.max(1, waves)
+    val stagingDir = s"$outDir/_staging"
+    val hadoopPath = new org.apache.hadoop.fs.Path(stagingDir)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagedSchema = org.apache.spark.sql.Encoders.product[ChunkedRow].schema
+      .add("wave", org.apache.spark.sql.types.LongType)
+
+    val source: Int => Dataset[ChunkedRow] =
+      if (wavesEff == 1) { _ => pending } // single wave: no staging pass
+      else {
+        pending.withColumn("wave", waveOf(col("chunk_id")))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("wave")
+          .parquet(stagingDir)
+        w =>
+          spark.read.schema(stagedSchema).parquet(stagingDir)
+            .filter(col("wave") === w.toLong)
+            .drop("wave")
+            .as[ChunkedRow]
+      }
+
     var w = 0
-    while (w < waves) {
-      val wave = pending.filter(waveOf(col("chunk_id")) === w.toLong)
-        .as[ChunkedRow]
-      val enc = Encoder.encode(wave).map { c =>
+    while (w < wavesEff) {
+      val enc = Encoder.encode(source(w)).map { c =>
         if (failOnChunk(c.chunk_id))
           throw new RuntimeException(s"injected failure on chunk ${c.chunk_id}")
         c
@@ -155,8 +261,18 @@ object Pipeline {
       // its directory (partition pruning — the Spark-native analog of
       // the reference's stats-driven row-range pruning on its sorted
       // layout, reference: search/constraint.go:394-433)
+      // Bloom filters on chunk_id serve point lookups: hash-derived
+      // chunk ids span the full int64 range in every row group, so
+      // min/max stats never prune them — bloom is the only row-group
+      // skip, mirroring the reference's bloom on its sorted label
+      // (reference: convert/convert.go:86-93). NDV sized for real row
+      // groups (~30 multi-MB chunks each; 4096 is generous headroom at
+      // ~5KB/row-group) — the parquet default assumes 1M NDV and pads
+      // 1MB per row group, which dwarfs small files.
       enc.write.mode(SaveMode.Append)
         .option("compression", "zstd")
+        .option("parquet.bloom.filter.enabled#chunk_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#chunk_id", "4096")
         .partitionBy("part_source")
         .parquet(chunksPath(outDir))
       val writtenAll = spark.read
@@ -185,6 +301,7 @@ object Pipeline {
       wavesRun += 1
       w += 1
     }
+    if (wavesEff > 1) fs.delete(hadoopPath, true)
     EncodeReport(wavesRun, encoded, skippedCount, rows, tokens, rawB, encB)
   }
 }

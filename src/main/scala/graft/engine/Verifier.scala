@@ -25,8 +25,13 @@ object Verifier {
   }
 
   /** Per-row invariant: decoded tokens array bit-identical to source.
-    * Equi join on doc_id; array<int> equality is a native Catalyst
-    * comparison (no UDF).
+    *
+    * Compared as MULTISETS of (doc_id, tokens): both sides are grouped
+    * by the full row content (array<int> is a native groupable Catalyst
+    * type — no UDF, no hashing shortcut) and the per-group counts
+    * full_outer-joined. This stays exact when doc_ids repeat in the
+    * input — a plain join on doc_id alone would cross-multiply
+    * duplicates and report spurious mismatches.
     */
   def verify(
       source: Dataset[TokenRow],
@@ -38,17 +43,21 @@ object Verifier {
     val decoded = Decoder.decode(chunks)
 
     val src = source.toDF()
-      .select(col("doc_id"), col("tokens").as("src_tokens"), col("n_tok"))
+      .groupBy(col("doc_id"), col("tokens"))
+      .agg(count(lit(1)).as("src_n"))
     val dec = decoded.toDF()
-      .select(col("doc_id"), col("tokens").as("dec_tokens"))
+      .groupBy(col("doc_id"), col("tokens"))
+      .agg(count(lit(1)).as("dec_n"))
 
-    val joined = src.join(dec, Seq("doc_id"), "full_outer")
+    val joined = src.join(dec, Seq("doc_id", "tokens"), "full_outer")
     val agg = joined.agg(
-      count(col("src_tokens")).as("src_rows"),
-      count(col("dec_tokens")).as("dec_rows"),
+      sum(coalesce(col("src_n"), lit(0L))).as("src_rows"),
+      sum(coalesce(col("dec_n"), lit(0L))).as("dec_rows"),
+      // a group missing on either side, or with unequal multiplicity,
+      // contributes its full row count to the mismatch tally
       sum(when(
-        col("src_tokens").isNull || col("dec_tokens").isNull ||
-          not(col("src_tokens") === col("dec_tokens")), 1L
+        col("src_n").isNull || col("dec_n").isNull || col("src_n") =!= col("dec_n"),
+        greatest(coalesce(col("src_n"), lit(0L)), coalesce(col("dec_n"), lit(0L)))
       ).otherwise(0L)).as("mismatches")
     ).first()
 

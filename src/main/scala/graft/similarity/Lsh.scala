@@ -42,4 +42,28 @@ object Lsh {
 
   /** Hamming distance between two signatures. */
   def hamming(a: Int, b: Int): Int = java.lang.Integer.bitCount(a ^ b)
+
+  /** Signature width for a PROBE-bucketed ANN over n vectors:
+    * ceil(log2(n / targetBucket)) hyperplanes put ~targetBucket
+    * candidates in each probe's bucket. Fixed widths do not survive
+    * scale: 8 bits (256 buckets) leaves ~4M candidates per bucket at
+    * 10^9 vectors — the width must grow with log2(n). Clamped to
+    * [4, 28] (Int signature).
+    */
+  def bitsFor(n: Long, targetBucket: Int = 2): Int = {
+    val buckets = math.max(2.0, n.toDouble / math.max(1, targetBucket))
+    math.min(28, math.max(4, math.ceil(math.log(buckets) / math.log(2)).toInt))
+  }
+
+  /** Per-band signature width for BANDED near-dup candidate generation
+    * (bands OR'd for recall, all bits within a band must match):
+    * ceil(log2(n)/bands) + 1. Grows with log2(n) so per-band bucket
+    * population (n / 2^bits) — and with it the per-bucket self-join —
+    * shrinks relative to n as the corpus grows, keeping candidate
+    * generation sub-quadratic. Clamped so bands*bits fits an Int.
+    */
+  def bitsPerBandFor(n: Long, bands: Int): Int = {
+    val b = math.ceil(math.log(math.max(2L, n).toDouble) / math.log(2) / bands).toInt + 1
+    math.min(28 / math.max(1, bands), math.max(4, b))
+  }
 }

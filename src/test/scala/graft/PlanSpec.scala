@@ -68,4 +68,47 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = df.queryExecution.optimizedPlan.toString()
     assert(p.contains("part_source"), "part_source filter missing from plan")
   }
+
+  private lazy val chunksDir: String = {
+    import graft.engine.{Encoder, Pipeline}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-planspec").toString
+    Encoder.encodeTable(SparkEntry.tokenTable(spark, sf), tokensPerChunk = 16384)
+      .write.mode("overwrite").option("compression", "zstd")
+      .option("parquet.bloom.filter.enabled#chunk_id", "true")
+      .option("parquet.bloom.filter.expected.ndv#chunk_id", "4096")
+      .partitionBy("part_source")
+      .parquet(Pipeline.chunksPath(tmp))
+    tmp
+  }
+
+  test("readDocIndex: parquet scan never reads the token payload") {
+    val p = graft.engine.Pipeline.readDocIndex(spark, chunksDir)
+      .queryExecution.executedPlan.toString()
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_ids_enc"), s"expected encoded id column in scan: $read")
+    assert(!read.contains("tokens_enc"),
+      s"metadata read pays token payload I/O: $read")
+  }
+
+  test("chunks table write carries a bloom filter on chunk_id") {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(graft.engine.Pipeline.chunksPath(chunksDir))
+    val fs = root.getFileSystem(conf)
+    val part = fs.listFiles(root, true)
+    var found = false
+    while (part.hasNext && !found) {
+      val f = part.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+        try {
+          val cols = reader.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
+          found = cols.exists(c =>
+            c.getPath.toDotString == "chunk_id" && c.getBloomFilterOffset >= 0)
+        } finally reader.close()
+      }
+    }
+    assert(found, "no parquet bloom filter found on chunk_id")
+  }
 }

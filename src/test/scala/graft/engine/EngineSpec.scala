@@ -5,6 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 import java.nio.file.Files
 
+/** Brute-force distinct for cross-checking the dictionary-only path. */
+object IntCodecBrute {
+  def distinct(c: EncodedChunk): Array[Int] =
+    graft.codec.IntCodec.decode(c.tokens_enc).distinct.sorted
+}
+
 /** E2E engine suite per FIXTURES.md §§2-3: bit-identical round-trip,
   * kill-one-partition resume, token-weighted skew splitting, and the
   * size-vs-stock-parquet bar.
@@ -135,6 +141,115 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val files = web.queryExecution.executedPlan.toString()
     assert(!files.contains("part_source=books") || files.contains("PartitionFilters"),
       "expected partition pruning on part_source")
+  }
+
+  test("input is scanned O(1) times regardless of wave count") {
+    import spark.implicits._
+    // every materialization of the input bumps the accumulator; the
+    // wave loop must NOT multiply input scans (round-1 regression:
+    // waves=16 re-scanned the full input 16 times)
+    val n = 600
+    val base = Fixtures.tokenTable(spark, n, seed = 21, medianLen = 64, maxLen = 512, partitions = 2)
+    val acc1 = spark.sparkContext.longAccumulator("scan1")
+    Pipeline.run(spark, base.map { r => acc1.add(1); r }, tmpDir(),
+      tokensPerChunk = 32 * 1024, waves = 1)
+    val acc4 = spark.sparkContext.longAccumulator("scan4")
+    Pipeline.run(spark, base.map { r => acc4.add(1); r }, tmpDir(),
+      tokensPerChunk = 32 * 1024, waves = 4)
+    val scans1 = acc1.value.toDouble / n
+    val scans4 = acc4.value.toDouble / n
+    info(s"input materializations: waves=1 -> $scans1, waves=4 -> $scans4")
+    assert(scans4 <= scans1 + 0.01,
+      s"wave count multiplied input scans: $scans1 vs $scans4")
+  }
+
+  test("orphan chunks (crash between chunk and lineage write) are adopted") {
+    val ds = Fixtures.tokenTable(spark, 400, seed = 31, medianLen = 64, maxLen = 512, partitions = 2)
+    val out = tmpDir()
+    Pipeline.run(spark, ds, out, tokensPerChunk = 32 * 1024, waves = 2)
+    val nChunks = Pipeline.readChunks(spark, out).count()
+    val nRows = Pipeline.readTokens(spark, out).count()
+    // simulate the crash window: chunks durable, lineage lost
+    val linPath = new org.apache.hadoop.fs.Path(Pipeline.lineagePath(out))
+    linPath.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(linPath, true)
+    // resume must ADOPT the orphans (derive lineage from written chunk
+    // metadata), not re-encode them into duplicates
+    val report = Pipeline.run(spark, ds, out, tokensPerChunk = 32 * 1024, waves = 2)
+    assert(report.chunksEncoded == 0, s"re-encoded ${report.chunksEncoded} adopted chunks")
+    assert(Pipeline.readChunks(spark, out).count() == nChunks, "duplicate chunks appended")
+    assert(Pipeline.readTokens(spark, out).count() == nRows, "decode emits duplicates")
+    val lin = Pipeline.readLineage(spark, out).get
+    assert(lin.count() == nChunks, "adopted lineage incomplete")
+    val v = Verifier.verify(ds, Pipeline.readChunks(spark, out))
+    assert(v.ok, s"post-adoption verify failed: $v")
+  }
+
+  test("point lookup decodes only chunks whose doc_id stats cover the key") {
+    import spark.implicits._
+    val ds = Fixtures.tokenTable(spark, 2000, seed = 33, medianLen = 64, maxLen = 512, partitions = 4)
+    val out = tmpDir()
+    Pipeline.run(spark, ds, out, tokensPerChunk = 32 * 1024, waves = 1)
+    val all = Pipeline.readChunks(spark, out)
+    val total = all.count()
+    val key = ds.head().doc_id
+    val hit = all.filter(
+      org.apache.spark.sql.functions.col("min_doc_id") <= key &&
+        org.apache.spark.sql.functions.col("max_doc_id") >= key).count()
+    info(s"chunk-stat pruning: $hit of $total chunks cover doc_id=$key")
+    assert(hit < total, "doc_id stats pruned nothing")
+    val rows = Pipeline.readTokensForDocId(spark, out, key).collect()
+    val expected = ds.filter(_.doc_id == key).head()
+    assert(rows.length == 1)
+    assert(rows.head.tokens.sameElements(expected.tokens))
+  }
+
+  test("readDocIndex returns ids/lengths without token decode") {
+    import spark.implicits._
+    val ds = Fixtures.tokenTable(spark, 300, seed = 34, medianLen = 64, maxLen = 512, partitions = 2)
+    val out = tmpDir()
+    Pipeline.run(spark, ds, out, tokensPerChunk = 32 * 1024, waves = 1)
+    val idx = Pipeline.readDocIndex(spark, out)
+      .collect().map(r => r.doc_id -> (r.n_tok, r.source)).toMap
+    val src = ds.collect().map(r => r.doc_id -> (r.n_tok, r.source)).toMap
+    assert(idx == src)
+  }
+
+  test("distinctTokens: dict chunks read dictionary only; cardinality exact") {
+    import spark.implicits._
+    // low-cardinality tokens force the dict codec
+    val rows = (0 until 50).map { i =>
+      TokenRow(f"d$i%03d", Array.fill(2000)(i % 7), 2000, "web")
+    }
+    val ds = spark.createDataset(rows)
+    val chunks = Encoder.encodeTable(ds, tokensPerChunk = 1 << 24).collect()
+    assert(chunks.nonEmpty)
+    chunks.foreach { c =>
+      val viaApi = Decoder.distinctTokens(c)
+      val brute = IntCodecBrute.distinct(c)
+      assert(viaApi.sameElements(brute))
+      assert(c.token_cardinality == viaApi.length)
+    }
+  }
+
+  test("verify is exact under duplicate doc_ids") {
+    import spark.implicits._
+    // same doc_id twice with identical tokens: a naive doc_id join
+    // would cross-multiply and report phantom rows
+    val rows = Seq(
+      TokenRow("dup", Array(1, 2, 3), 3, "web"),
+      TokenRow("dup", Array(1, 2, 3), 3, "web"),
+      TokenRow("solo", Array(9, 8), 2, "web"))
+    val ds = spark.createDataset(rows)
+    val v = Verifier.verify(ds, Encoder.encodeTable(ds, 1 << 20))
+    assert(v.ok, s"duplicate doc_ids broke verify: $v")
+    assert(v.sourceRows == 3 && v.decodedRows == 3)
+    // and a real mismatch is still caught
+    val bad = spark.createDataset(Seq(
+      TokenRow("dup", Array(1, 2, 3), 3, "web"),
+      TokenRow("dup", Array(7, 7, 7), 3, "web"),
+      TokenRow("solo", Array(9, 8), 2, "web")))
+    val v2 = Verifier.verify(bad, Encoder.encodeTable(ds, 1 << 20))
+    assert(!v2.ok && v2.mismatchedRows > 0, s"mismatch not caught: $v2")
   }
 
   test("decoder detects corrupted payload via checksum") {
