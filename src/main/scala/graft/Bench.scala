@@ -132,17 +132,22 @@ object Bench {
     }
     def onePass(tag: String): (Double, Double) = passOver(ds, tag)
 
-    // JIT warm-up on a SMALL separate corpus (same shape, ~10% rows):
-    // warming on the full corpus cost 13-46s clean but up to 30 MINUTES
-    // under a steal storm in round 1, which alone blew the driver's wall
-    // budget. JIT/codegen warm-up only needs the code paths hot, not the
-    // full data volume.
+    // Two-stage warm-up: (1) a SMALL corpus pass gets JIT/codegen hot
+    // cheaply even under a steal storm (round 1 warmed on the full
+    // corpus only, and one storm-stretched 30-minute warmup blew the
+    // driver's wall budget before anything was measured); (2) ONE
+    // full-corpus pass warms what the small pass cannot — input page
+    // cache and size-dependent paths (measured: without it the first
+    // 2-3 measured passes still trend downward 20s -> 11s -> 9s and
+    // min-of-K reports a cold number).
     val warm = spark.read.parquet(warmPath).as[TokenRow]
-    val warmSecs = passOver(warm, "warmup")._1
-    println(f"READY $warmSecs%.4f"); Console.flush()
+    val w1 = passOver(warm, "warmup-jit")._1
+    rmTree(s"$outBase-warmup-jit") // small-corpus output: wrong stats for FINAL
+    val w2 = onePass("warmup-full")._1
+    println(f"READY ${w1 + w2}%.4f"); Console.flush()
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
     var cont = true
-    var lastTag = "warmup"
+    var lastTag = "warmup-full"
     while (cont) {
       in.readLine() match {
         case "pass" =>
@@ -234,20 +239,20 @@ object Bench {
     // "degraded":true; any uncaught failure also emits the line.
     val wallT0 = System.nanoTime()
     val deadlineSecs =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SECS", "1500").toLong
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SECS", "1200").toLong
     def elapsedSecs: Double = (System.nanoTime() - wallT0) / 1e9
     def leftSecs: Double = deadlineSecs - elapsedSecs
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // ~512M tokens: large enough that per-stage CPU (~44 core-secs)
-    // dominates the ~1.5-2s fixed driver/AQE floor (modeled from the
-    // round-1 curve: T(N) = 88.4/N + 1.5 at 1B tokens — at 512M the
-    // projected pair is local[2] 23.5s / local[8] 7.0s, eff 0.84), yet
-    // small enough that warmup+3 pairs finish in ~2.5 clean minutes
-    // instead of round 1's 4+ (which storms stretched past the driver's
-    // budget).
-    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "600000").toLong
+    // ~1B tokens: per-stage CPU must dominate the ~2s fixed driver/AQE/
+    // commit floor that does NOT parallelize — measured at 512M tokens
+    // the floor costs the local[8] pass ~25% of its time and caps
+    // efficiency at ~0.65 even with clean passes, while at 1B the same
+    // pair measures 0.86 (BASELINE.md curve). The round-1 DNF risk of
+    // the big corpus is retired by the deadline + degraded-emit
+    // machinery, not by shrinking the workload.
+    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1200000").toLong
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // N vs 4N on cores that this shared VM actually delivers linearly:
     // measured curve on 1B tokens (min-of-K): local[2] 45.7s, local[4]
@@ -349,19 +354,43 @@ object Bench {
       val maxPairs = runs * 3
       var pairs = List.empty[(Double, Double, Boolean)] // (secsLow, secsHigh, clean)
       var cleanPairs = 0
-      var bestCanary = canarySecs()
+      var prevCanary = canarySecs()
+      var bestCanary = prevCanary
       var i = 0
       // the FIRST pair always runs (even past deadline — one measurement
       // beats none); later pairs respect both the clean-run target and
-      // the global deadline
+      // the global deadline, and a pair is not STARTED unless the
+      // remaining budget plausibly covers it (a pair in flight cannot
+      // be interrupted, so deadline checks only between pairs would
+      // overshoot by a full storm-stretched pair)
+      var lastPairSecs = 0.0
       while (i < maxPairs &&
-             (i == 0 || (cleanPairs < runs && leftSecs > 0) ||
-               (i < runs && leftSecs > 0))) {
+             (i == 0 || ((cleanPairs < runs || i < runs) &&
+               leftSecs > 0.8 * lastPairSecs))) {
         val (sl, stl) = low.pass()
         val (sh, sth) = high.pass()
-        val clean = stl <= 0.05 * lowCpus * sl && sth <= 0.05 * highCpus * sh
+        lastPairSecs = sl + sh
         val cn = canarySecs()
+        // two independent storm detectors, both must pass: (a) /proc/stat steal
+        // <= 5% of each pass's vCPU allotment; (b) the single-thread
+        // canary bracketing the pair stays near its best — this host
+        // shows 3-10x throttling phases with NEAR-ZERO reported steal
+        // (measured: a 183s pass, 4x slow, with 2.6% steal), which (a)
+        // alone waves through
+        val stealOk = stl <= 0.05 * lowCpus * sl && sth <= 0.05 * highCpus * sh
+        val canaryOk = math.max(prevCanary, cn) <= math.max(0.9, 1.5 * bestCanary)
+        // (c) near-best: multi-core co-tenant contention slows passes
+        // 2-5x while steal stays low AND the single-thread canary stays
+        // fast; a pair >30% off the best normalized pair so far does
+        // not count toward the clean quota, so the loop keeps sampling
+        // (bounded by maxPairs/deadline) instead of settling for a
+        // contended window
+        val cost = sl + 4 * sh
+        val nearBest = pairs.map { case (a, b, _) => a + 4 * b }
+          .minOption.forall(best => cost <= 1.3 * math.min(best, cost))
+        val clean = stealOk && canaryOk && nearBest
         System.err.println(f"[bench] pair$i: low $sl%.2fs high $sh%.2fs canary $cn%.2fs${if (clean) "" else " (storm-polluted)"}")
+        prevCanary = cn
         if (cn < bestCanary) bestCanary = cn
         pairs ::= (sl, sh, clean)
         if (clean) cleanPairs += 1
@@ -385,7 +414,11 @@ object Bench {
           f""""ambient_canary_secs":$bestCanary%.2f,""" +
           f""""tokens_per_sec_low":${thrLow.toLong},"tokens_per_sec_high":${thrHigh.toLong},""" +
           f""""scaling_efficiency":$eff%.3f,""" +
-          f""""encoded_bytes":$encBytes,"bytes_per_token":${encBytes.toDouble / toks}%.4f,""" +
+          // bytes_per_token is DISK bytes (after the file-level zstd the
+          // format stacks on the codecs — the number BASELINE.md quotes);
+          // pre_zstd_bytes_per_token is the raw codec output for reference
+          f""""encoded_bytes":$encBytes,"pre_zstd_bytes_per_token":${encBytes.toDouble / toks}%.4f,""" +
+          f""""bytes_per_token":${ourBytes.toDouble / toks}%.4f,""" +
           f""""our_disk_bytes":$ourBytes,"stock_parquet_zstd_bytes":$stockBytes,""" +
           f""""size_vs_stock":${ourBytes.toDouble / stockBytes}%.4f""")
         .map(s => "{" + s + "}")

@@ -9,13 +9,19 @@ import graft.engine.{Chunker, Pipeline, TokenRow, Verifier}
   * spark-submit --class graft.EncodeJob graft.jar \
   *   input=<token-table-path> out=<output-dir> \
   *   [tokensPerChunk=4194304] [waves=16] [verify=true] [inputSplit=<tag>]
+  *
+  * // consumer read paths over an existing encoded table:
+  * spark-submit ... mode=lookup out=<output-dir> doc=<doc_id>  // stat-pruned point decode
+  * spark-submit ... mode=index  out=<output-dir>               // token-payload-free doc index
   * }}}
   *
   * Reads the token table (doc_id, tokens, n_tok, source), runs the
   * resumable chunk-encode pipeline ([[graft.engine.Pipeline.run]]),
   * optionally round-trip-verifies, and prints one JSON report line.
   * Re-running the same command after a failure resumes: completed
-  * chunks are skipped via the lineage table's left_anti join.
+  * chunks are skipped via the lineage table's left_anti join (chunks
+  * orphaned by a crash between chunk and lineage writes are adopted
+  * first, never re-encoded).
   *
   * No master/parallelism is set here — spark-submit owns cluster
   * sizing (the north rule's N vs 4N executors); the job's explicit
@@ -28,6 +34,12 @@ object EncodeJob {
       require(i > 0, s"expected key=value, got '$a'")
       a.substring(0, i) -> a.substring(i + 1)
     }.toMap
+    opts.getOrElse("mode", "encode") match {
+      case "lookup" => return readMode(opts, lookup = true)
+      case "index" => return readMode(opts, lookup = false)
+      case "encode" => ()
+      case m => throw new IllegalArgumentException(s"unknown mode=$m")
+    }
     val input = opts("input")
     val out = opts("out")
     val tokensPerChunk = opts.getOrElse("tokensPerChunk",
@@ -61,6 +73,28 @@ object EncodeJob {
         s""""rows":${report.rows},"tokens":${report.tokens},""" +
         s""""rawBytes":${report.rawBytes},"encodedBytes":${report.encodedBytes},""" +
         f""""encodeSecs":$encodeSecs%.2f$verifyJson}""")
+    spark.stop()
+  }
+
+  /** Consumer read paths: stat-pruned point lookup / doc index. */
+  private def readMode(opts: Map[String, String], lookup: Boolean): Unit = {
+    val out = opts("out")
+    val spark = SparkSession.builder()
+      .appName(if (lookup) "graft-lookup" else "graft-index")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (lookup) {
+      val doc = opts("doc")
+      val rows = Pipeline.readTokensForDocId(spark, out, doc).collect()
+      rows.foreach { r =>
+        println(s"""{"doc_id":"${r.doc_id}","source":"${r.source}","n_tok":${r.n_tok}}""")
+      }
+      if (rows.isEmpty) println(s"""{"doc_id":"$doc","found":false}""")
+    } else {
+      val n = Pipeline.readDocIndex(spark, out).count()
+      println(s"""{"index_rows":$n,"out":"$out"}""")
+    }
     spark.stop()
   }
 }

@@ -318,6 +318,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // scalable near-dup dedup end-to-end: LSH band collisions generate
+    // candidate pairs (equi self-join per band — never all-pairs), then
+    // EXACT shingle Jaccard confirms, integer-ratio threshold (>= 0.5)
+    // so the oracle compare is float-free. This is q20's capability
+    // without its probe-vs-25-docs demo scoping: the candidate set, not
+    // the corpus square, bounds the exact-verify work at 10^9 docs.
+    "q38_shingle_neardup_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("sh", expr(
+          "CASE WHEN size(words) >= 3 THEN array_distinct(transform(sequence(1, size(words)-2), i -> " +
+            "concat_ws(' ', element_at(words,i), element_at(words,i+1), element_at(words,i+2)))) " +
+            "ELSE CAST(array() AS array<string>) END"))
+        .select(col("doc_id"), col("sh"))
+      val mh = d.select(col("doc_id"),
+        posexplode(array((0 to 3).map(b =>
+          expr(s"array_min(transform(sh, x -> md5(concat(x,'#$b'))))")): _*))
+          .as(Seq("band", "bucket")))
+        .filter(col("bucket").isNotNull)
+      val cand = mh.select(col("band"), col("bucket"), col("doc_id").as("a"))
+        .join(mh.select(col("band"), col("bucket"), col("doc_id").as("b")),
+          Seq("band", "bucket"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+      cand
+        .join(d.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
+        .join(d.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+        .withColumn("uni", size(array_union(col("sha"), col("shb"))).cast("long"))
+        .filter(col("uni") > 0 && col("inter") * 2 >= col("uni"))
+        .select(col("a"), col("b"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // chunk-stat pruned point lookup: only chunks whose
     // [min_doc_id, max_doc_id] covers the key are decoded — the
     // reference's precise row-range pruning from page min/max stats
@@ -708,6 +742,38 @@ object SparkEntry {
     "q23_decode_pruned" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tok
         |FROM documents WHERE source = 'src1' ORDER BY doc_id""".stripMargin,
+
+    "q38_shingle_neardup_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(sh, x -> md5(x || '#0'))) AS mh0,
+        |    list_min(list_transform(sh, x -> md5(x || '#1'))) AS mh1,
+        |    list_min(list_transform(sh, x -> md5(x || '#2'))) AS mh2,
+        |    list_min(list_transform(sh, x -> md5(x || '#3'))) AS mh3
+        |  FROM d),
+        |bands AS (
+        |  SELECT 0 AS band, mh0 AS bucket, doc_id FROM sig
+        |  UNION ALL SELECT 1, mh1, doc_id FROM sig
+        |  UNION ALL SELECT 2, mh2, doc_id FROM sig
+        |  UNION ALL SELECT 3, mh3, doc_id FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+        |  WHERE l.doc_id < r.doc_id AND l.bucket IS NOT NULL),
+        |j AS (
+        |  SELECT a, b,
+        |    CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS inter,
+        |    CAST(len(list_distinct(list_concat(da.sh, db.sh))) AS BIGINT) AS uni
+        |  FROM cand
+        |  JOIN d da ON da.doc_id = a
+        |  JOIN d db ON db.doc_id = b)
+        |SELECT a, b FROM j WHERE uni > 0 AND inter * 2 >= uni
+        |ORDER BY a, b""".stripMargin,
 
     "q26_decode_point_lookup" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tok
