@@ -303,6 +303,11 @@ object Bench {
       // failures are RECORDED (name → error, secs = -1), never silently
       // timed as successes; remaining queries are skipped at deadline
       val spark0 = session(cpus, math.max(8, cpus))
+      // session warm-up: codegen/JIT/parquet-footer machinery — without
+      // it the alphabetically-first query absorbs ~5s of one-time cost
+      // and the per-query numbers aren't comparable
+      spark0.range(0, 1000000).selectExpr("sum(id * 3)").collect()
+      spark0.read.parquet(s"$sfDir/documents.parquet").limit(10).collect()
       val queryBudget = deadlineSecs * 0.4 // queries may not starve scaling
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (elapsedSecs < queryBudget) {
@@ -396,9 +401,24 @@ object Bench {
         if (clean) cleanPairs += 1
         i += 1
       }
-      if (cleanPairs == 0 || leftSecs <= 0) degraded = true
-      val candidates = if (cleanPairs > 0) pairs.filter(_._3) else pairs
-      val (secsLow, secsHigh, _) = candidates.minBy { case (sl, sh, _) => sl + 4 * sh }
+      // degraded = the clean-pair quota was not met: numbers exist but
+      // at least one level never escaped co-tenant contention
+      if (cleanPairs < runs) degraded = true
+      // Per-level MINIMUM across all pairs: storms only ever slow a
+      // pass, so each level's minimum is its least-polluted observation
+      // (the round-1 min-of-clean-passes methodology). A same-ambient
+      // clean pair yields both minima from one pair; under one-sided
+      // pollution the minima stay closer to truth than any single pair.
+      // The best clean PAIR is reported alongside for comparison.
+      val secsLow = pairs.map(_._1).min
+      val secsHigh = pairs.map(_._2).min
+      val cleanOnly = pairs.filter(_._3)
+      val pairedEff =
+        if (cleanOnly.isEmpty) -1.0
+        else {
+          val (pl, ph, _) = cleanOnly.minBy { case (sl, sh, _) => sl + 4 * sh }
+          (pl / ph) / (highCpus.toDouble / lowCpus)
+        }
       val (toks, encBytes, nChunks, ourBytes) = high.quit()
       low.quit()
 
@@ -414,6 +434,7 @@ object Bench {
           f""""ambient_canary_secs":$bestCanary%.2f,""" +
           f""""tokens_per_sec_low":${thrLow.toLong},"tokens_per_sec_high":${thrHigh.toLong},""" +
           f""""scaling_efficiency":$eff%.3f,""" +
+          f""""scaling_efficiency_paired":$pairedEff%.3f,""" +
           // bytes_per_token is DISK bytes (after the file-level zstd the
           // format stacks on the codecs — the number BASELINE.md quotes);
           // pre_zstd_bytes_per_token is the raw codec output for reference

@@ -115,6 +115,32 @@ object StrCodec {
     }
   }
 
+  /** O(distinct) read of the sorted dictionary of a Dict-coded string
+    * buffer, without decoding the per-row codes — distinct values of a
+    * column chunk straight from its dictionary header (the reference's
+    * dictionary-page-only distinct, search/materialize.go:358-380).
+    * None when another codec was chosen.
+    */
+  def dictValues(buf: Array[Byte]): Option[Array[String]] = {
+    val r = new Reader(buf, 0)
+    if (r.readByte() != DictId) None
+    else {
+      r.readUvarint() // row count, unused here
+      val dn = r.readUvarint()
+      val dlens = IntCodec.decode(r)
+      r.readUvarint() // total dict bytes
+      val dict = new Array[String](dn)
+      var off = r.pos
+      var i = 0
+      while (i < dn) {
+        dict(i) = new String(r.buf, off, dlens(i), UTF_8)
+        off += dlens(i)
+        i += 1
+      }
+      Some(dict)
+    }
+  }
+
   def decode(buf: Array[Byte]): Array[String] = decode(new Reader(buf, 0))
 
   def decode(r: Reader): Array[String] = {

@@ -90,6 +90,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"metadata read pays token payload I/O: $read")
   }
 
+  test("point-lookup doc_id bounds are pushed to the parquet scan") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(graft.engine.Pipeline.chunksPath(chunksDir))
+      .filter(col("min_doc_id") <= "42" && col("max_doc_id") >= "42")
+    val p = df.queryExecution.executedPlan.toString()
+    // row-group stats on the bound columns prune the scan before any
+    // chunk reaches the decode kernel
+    // the plan's PushedFilters list is elided past ~100 chars, so assert
+    // on the first bound only
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(min_doc_id"),
+      s"doc_id bounds not pushed: ${p.linesIterator.find(_.contains("PushedFilters")).getOrElse(p.take(500))}")
+  }
+
   test("chunks table write carries a bloom filter on chunk_id") {
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration

@@ -51,6 +51,11 @@ class StrCodecSpec extends AnyFunSuite {
     val (id, enc) = StrCodec.encodeAuto(data)
     assert(id == StrCodec.DictId)
     assert(enc.length < data.map(_.length).sum / 10)
+    // dictionary-only distinct: O(distinct), no code decode
+    assert(StrCodec.dictValues(enc).get.toSeq == Seq("books", "code", "web", "wiki"))
+    // non-dict buffers answer None
+    val (pid, penc) = StrCodec.encodeAuto(Array.tabulate(100)(i => s"unique-$i-${i * 31}"))
+    if (pid != StrCodec.DictId) assert(StrCodec.dictValues(penc).isEmpty)
   }
 
   test("high-cardinality text: selector picks the post-zstd winner") {
