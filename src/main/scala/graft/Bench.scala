@@ -156,6 +156,22 @@ object Bench {
           rmTree(s"$outBase-$lastTag") // bound tmpfs usage
           lastTag = tag
           println(f"PASS $secs%.4f $stolen%.2f"); Console.flush()
+        case "decode" =>
+          // read-path throughput: chunks table -> checksum-verified
+          // token rows (the reference's Select/Materialize benchmark
+          // analog over our layout)
+          import org.apache.spark.sql.functions.{sum => fsum}
+          val chunks = spark.read
+            .schema(org.apache.spark.sql.Encoders.product[graft.engine.EncodedChunk].schema)
+            .parquet(s"$outBase-$lastTag")
+            .as[graft.engine.EncodedChunk](org.apache.spark.sql.Encoders.product[graft.engine.EncodedChunk])
+          val t0 = System.nanoTime()
+          val total = graft.engine.Decoder.decode(chunks)
+            .map(_.n_tok.toLong)(org.apache.spark.sql.Encoders.scalaLong)
+            .toDF("n").agg(fsum("n")).first().getLong(0)
+          val secs = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench-child] local[$cpus] decode: $secs%.2fs ($total tokens)")
+          println(f"DECODE $secs%.4f $total"); Console.flush()
         case _ => // "quit" / EOF
           val last = s"$outBase-$lastTag"
           val agg = spark.read.parquet(last)
@@ -212,6 +228,13 @@ object Bench {
       cmdIn.println("pass")
       val parts = readTagged("PASS").split(" ")
       (parts(1).toDouble, parts(2).toDouble)
+    }
+
+    /** One timed decode of the last written output → (secs, tokens). */
+    def decode(): (Double, Long) = {
+      cmdIn.println("decode")
+      val parts = readTagged("DECODE").split(" ")
+      (parts(1).toDouble, parts(2).toLong)
     }
 
     /** Stop the child → (tokens, encodedBytes, chunks, onDiskBytes). */
@@ -419,6 +442,7 @@ object Bench {
           val (pl, ph, _) = cleanOnly.minBy { case (sl, sh, _) => sl + 4 * sh }
           (pl / ph) / (highCpus.toDouble / lowCpus)
         }
+      val (decSecs, decToks) = high.decode()
       val (toks, encBytes, nChunks, ourBytes) = high.quit()
       low.quit()
 
@@ -433,6 +457,7 @@ object Bench {
           f""""clean_passes":$cleanPairs,"measured_pairs":$i,""" +
           f""""ambient_canary_secs":$bestCanary%.2f,""" +
           f""""tokens_per_sec_low":${thrLow.toLong},"tokens_per_sec_high":${thrHigh.toLong},""" +
+          f""""decode_secs_high":$decSecs%.2f,"decode_tokens_per_sec":${(decToks / decSecs).toLong},""" +
           f""""scaling_efficiency":$eff%.3f,""" +
           f""""scaling_efficiency_paired":$pairedEff%.3f,""" +
           // bytes_per_token is DISK bytes (after the file-level zstd the
