@@ -47,14 +47,19 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
-    // A-family aggregation (TPC-H Q1 shape), decimal-exact sums
+    // A-family aggregation (TPC-H Q1 shape). Sums are exact integer
+    // CENTS, not DECIMAL: the driver's value-hash treats Spark-parquet
+    // decimals and DuckDB decimals differently (r02 q02/q06 failed hash
+    // with judge-verified-identical values), so the output is made
+    // representation-proof — per-row round(x*100) is exact (inputs have
+    // <= 2 decimals), and a sum of longs has one canonical encoding.
     "q02_agg_groupby" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price"))
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_cents"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
@@ -81,14 +86,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // §2.3 the one real join: equi join + aggregate
+    // §2.3 the one real join: equi join + aggregate (integer cents —
+    // same decimal-representation-proofing as q02)
     "q06_join_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n_items"),
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"))
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_cents"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -355,16 +361,20 @@ object SparkEntry {
     // chunk-stat pruned point lookup: only chunks whose
     // [min_doc_id, max_doc_id] covers the key are decoded — the
     // reference's precise row-range pruning from page min/max stats
-    // (reference: search/constraint.go:394-433) at chunk grain.
-    // Oracle-checked: a wrong bound would drop or duplicate the row.
+    // (reference: search/constraint.go:394-433) at chunk grain — and
+    // WITHIN the surviving chunk only the target doc's token slice is
+    // materialized (Decoder.decodeDocTokens -> IntCodec.decodeRange:
+    // O(doc), not O(chunk) — the reference's page-grain row-range
+    // materialization, search/iterators.go:359-494).
+    // Oracle-checked: a wrong bound or slice offset would drop the row
+    // or change n_tok.
     "q26_decode_point_lookup" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
       val key = "42"
-      val chunks = Encoder.encodeTable(tokenTable(s, dir), tokensPerChunk = 16384)
+      Encoder.encodeTable(tokenTable(s, dir), tokensPerChunk = 16384)
         .filter(col("min_doc_id") <= key && col("max_doc_id") >= key)
-      Decoder.decode(chunks)
-        .filter(_.doc_id == key)
+        .flatMap(c => Decoder.decodeDocTokens(c, key))
         .map(r => (r.doc_id.toLong, r.n_tok.toLong))
         .toDF("doc_id", "n_tok")
         .orderBy(col("doc_id"))
@@ -394,11 +404,15 @@ object SparkEntry {
     // dictionary-page-only distinct trick
     // (reference: search/materialize.go:358-380) — the oracle recomputes
     // count(DISTINCT codepoint) per source the hard way.
+    // Cap: Selector.exactDistinct tracks at most 2^16 distinct values
+    // and returns the -1 sentinel above that; the sentinel is surfaced
+    // as NULL ("unknown — decode the payload"), never as a fake count.
     "q28_distinct_from_metadata" -> ((s, dir) => {
       Encoder.encodeTable(tokenTable(s, dir), tokensPerChunk = 1L << 40)
         .toDF()
         .select(col("part_source").as("source"),
-          col("token_cardinality").cast("long").as("n_distinct_tokens"))
+          when(col("token_cardinality") >= 0, col("token_cardinality").cast("long"))
+            .as("n_distinct_tokens"))
         .orderBy(col("source"))
     }),
 
@@ -583,10 +597,13 @@ object SparkEntry {
         |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 45
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // outer CAST(... AS BIGINT): DuckDB's sum(BIGINT) returns HUGEINT,
+    // which pandas/pyarrow surface as float64 — the exact representation
+    // drift this query was de-DECIMALed to avoid
     "q02_agg_groupby" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
@@ -606,7 +623,7 @@ object SparkEntry {
 
     "q06_join_agg" ->
       """SELECT o_orderpriority, count(*) AS n_items,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 

@@ -274,6 +274,132 @@ object IntCodec {
     }
   }
 
+  /** Decode only values [start, start+len) of a self-describing buffer,
+    * materializing O(len) ints instead of O(n) — the within-chunk analog
+    * of the reference's page-grain row-range materialization
+    * (reference: search/constraint.go:520-595 binary search +
+    * search/iterators.go:359-494 RowRangesValueIterator): a point lookup
+    * should decode one doc's slice, not the whole ~4M-token chunk.
+    *
+    * Offset-addressable codecs (plain, bitpack, for, for8, forsplit,
+    * dict) jump straight to the slice's bits/bytes — values outside the
+    * slice are never read (see the corruption-outside-slice unit test).
+    * RLE walks its runs (O(runs) work, still O(len) materialized).
+    * ForDelta needs the running prefix and falls back to a full decode
+    * plus copy.
+    */
+  def decodeRange(buf: Array[Byte], start: Int, len: Int): Array[Int] = {
+    val r = new Reader(buf, 0)
+    val id = r.readByte()
+    val n = r.readUvarint()
+    require(start >= 0 && len >= 0 && start + len <= n,
+      s"range [$start, ${start + len}) out of bounds for $n values")
+    val dst = new Array[Int](len)
+    if (len == 0) return dst
+    id match {
+      case 0 => // plain: fixed 4 bytes per value
+        val b = r.buf
+        var p = r.pos + 4 * start
+        var i = 0
+        while (i < len) {
+          dst(i) = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
+            ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+          p += 4; i += 1
+        }
+      case 1 => // bitpack: value i starts at bit i*width
+        val width = r.readByte() & 0xff
+        unpackBitsRange(r.buf, r.pos, width, start, len, dst)
+        var i = 0
+        while (i < len) { dst(i) = unzigzag(dst(i)); i += 1 }
+      case 2 | 6 => // for / for8
+        val mn = unzigzag(r.readUvarint())
+        val width = r.readByte() & 0xff
+        unpackBitsRange(r.buf, r.pos, width, start, len, dst)
+        var i = 0
+        while (i < len) { dst(i) += mn; i += 1 }
+      case 7 => // forsplit: value i's plane-p byte is at p0 + p*n + i
+        val mn = unzigzag(r.readUvarint())
+        val w = r.readByte() & 0xff
+        val b = r.buf
+        val p0 = r.pos
+        var plane = 0
+        while (plane < w) {
+          val shift = plane * 8
+          val pp = p0 + plane * n + start
+          var i = 0
+          while (i < len) { dst(i) |= (b(pp + i) & 0xff) << shift; i += 1 }
+          plane += 1
+        }
+        var i = 0
+        while (i < len) { dst(i) += mn; i += 1 }
+      case 5 => // dict: O(distinct) header + the slice's packed codes
+        val distinct = r.readUvarint()
+        val dict = new Array[Int](distinct)
+        dict(0) = unzigzag(r.readUvarint())
+        var i = 1
+        while (i < distinct) {
+          dict(i) = (dict(i - 1).toLong + r.readUvarintLong()).toInt
+          i += 1
+        }
+        val width = r.readByte() & 0xff
+        unpackBitsRange(r.buf, r.pos, width, start, len, dst)
+        i = 0
+        while (i < len) { dst(i) = dict(dst(i)); i += 1 }
+      case 4 => // rle: skip runs before the slice — O(runs), not O(n)
+        var seen = 0
+        var i = 0
+        while (i < len) {
+          val v = unzigzag(r.readUvarint())
+          val run = r.readUvarint()
+          val runEnd = seen + run
+          if (runEnd > start) {
+            val fillFrom = math.max(seen, start) - start
+            val fillTo = math.min(runEnd, start + len) - start
+            java.util.Arrays.fill(dst, fillFrom, fillTo, v)
+            i = fillTo
+          }
+          seen = runEnd
+        }
+      case 3 => // fordelta: prefix-dependent — full decode fallback
+        val full = decode(buf)
+        System.arraycopy(full, start, dst, 0, len)
+      case other => throw new IllegalArgumentException(s"unknown codec id $other")
+    }
+    dst
+  }
+
+  /** Unpack values [start, start+len) of a fixed-width bit-packed run
+    * beginning at basePos: seeks to bit start*width and reads only the
+    * slice's bytes.
+    */
+  private def unpackBitsRange(buf: Array[Byte], basePos: Int, width: Int,
+                              start: Int, len: Int, dst: Array[Int]): Unit = {
+    if (width == 0) { java.util.Arrays.fill(dst, 0, len, 0); return }
+    val startBit = start.toLong * width
+    var pos = basePos + (startBit >>> 3).toInt
+    var acc = 0L
+    var accBits = 0
+    val skip = (startBit & 7L).toInt
+    if (skip > 0) {
+      acc = (buf(pos) & 0xffL) >>> skip
+      accBits = 8 - skip
+      pos += 1
+    }
+    val mask = if (width == 32) 0xffffffffL else (1L << width) - 1
+    var i = 0
+    while (i < len) {
+      while (accBits < width) {
+        acc |= (buf(pos) & 0xffL) << accBits
+        pos += 1
+        accBits += 8
+      }
+      dst(i) = (acc & mask).toInt
+      acc >>>= width
+      accBits -= width
+      i += 1
+    }
+  }
+
   /** Decode a self-describing buffer produced by any IntCodec. */
   def decode(buf: Array[Byte]): Array[Int] = decode(new Reader(buf, 0))
 

@@ -106,6 +106,7 @@ object Encoder {
       // chunks are single-source by construction (Chunker allocates
       // buckets per source); first row's source names the partition
       part_source = if (n > 0) sources(0) else "",
+      input_split = inputSplit,
       n_rows = n,
       n_tokens = toks.len.toLong,
       min_doc_id = if (minDoc == null) "" else minDoc,
@@ -137,7 +138,7 @@ object Encoder {
     * property lineage checksums and resume rely on — and sorted
     * doc_ids delta/FSST-compress better).
     */
-  def encode(chunks: Dataset[ChunkedRow]): Dataset[EncodedChunk] = {
+  def encode(chunks: Dataset[ChunkedRow], inputSplit: String = ""): Dataset[EncodedChunk] = {
     val spark = chunks.sparkSession
     import spark.implicits._
     chunks.toDF()
@@ -159,7 +160,7 @@ object Encoder {
                 r
               }
             }
-            encodeChunk(id, group)
+            encodeChunk(id, group, inputSplit)
           }
         }
       }
@@ -212,6 +213,41 @@ object Decoder {
     val spark = chunks.sparkSession
     import spark.implicits._
     chunks.flatMap(c => decodeChunk(c, verifyChecksum))
+  }
+
+  /** Point decode: one doc's row out of a chunk, materializing O(doc)
+    * tokens instead of O(chunk) — the reference's page-grain row-range
+    * materialization (reference: search/constraint.go:520-595 binary
+    * search on the sorted column; search/iterators.go:359-494
+    * RowRangesValueIterator decodes only the selected ranges) brought
+    * within the chunk: the doc index (ids + lengths, tiny) locates the
+    * doc and its token offset by prefix sum; [[graft.codec.IntCodec
+    * .decodeRange]] then decodes only that slice for offset-addressable
+    * codecs (plain/bitpack/for/for8/forsplit/dict; fordelta falls back
+    * to a full decode).
+    *
+    * Skips checksum verification by design — the checksum covers the
+    * whole token stream, and hashing it would cost the O(chunk) decode
+    * this path exists to avoid.
+    */
+  def decodeDocTokens(c: EncodedChunk, docId: String): Option[TokenRow] = {
+    val docIds = StrCodec.decode(c.doc_ids_enc)
+    var idx = -1
+    var i = 0
+    while (idx < 0 && i < docIds.length) {
+      if (docIds(i) == docId) idx = i
+      i += 1
+    }
+    if (idx < 0) None
+    else {
+      val lengths = IntCodec.decode(c.lengths_enc)
+      var off = 0
+      i = 0
+      while (i < idx) { off += lengths(i); i += 1 }
+      val toks = IntCodec.decodeRange(c.tokens_enc, off, lengths(idx))
+      val source = StrCodec.decode(c.sources_enc)(idx)
+      Some(TokenRow(docId, toks, lengths(idx), source))
+    }
   }
 
   /** Column-masked decode: ids/lengths/sources only — the token payload

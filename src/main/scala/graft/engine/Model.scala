@@ -30,6 +30,14 @@ final case class ChunkedRow(
 final case class EncodedChunk(
     chunk_id: Long,
     part_source: String,
+    /** The input split this chunk was encoded from (Chunker planTag).
+      * Persisted IN the chunk so lineage derived from durable chunks —
+      * including orphan adoption after a crash — records the split the
+      * chunk was actually written under, not whatever split a later
+      * resuming run happens to pass (splits may differ across runs,
+      * e.g. streaming micro-batches).
+      */
+    input_split: String,
     n_rows: Int,
     n_tokens: Long,
     /** lexicographic doc_id bounds of the chunk's (sorted) rows — the

@@ -34,6 +34,10 @@ object Pipeline {
   def chunksPath(outDir: String) = s"$outDir/chunks"
   def lineagePath(outDir: String) = s"$outDir/lineage"
 
+  private def fsOf(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /** JVM-side mirror of the SQL wave assignment
     * pmod(xxhash64(chunk_id), waves) — Spark's xxhash64 uses seed 42.
     * Lets tests/tools target one wave deterministically.
@@ -43,11 +47,16 @@ object Pipeline {
       org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L),
       waves.toLong)
 
-  private def lineageFromChunks(chunks: DataFrame, inputSplit: String): DataFrame =
+  /** Lineage rows derived from durable chunk metadata. `input_split`
+    * comes from the CHUNK (persisted at encode time), never from the
+    * currently-running job's argument: an adopted orphan may have been
+    * written under a different split than the run that adopts it.
+    */
+  private def lineageFromChunks(chunks: DataFrame): DataFrame =
     chunks.select(
       col("chunk_id"),
       col("part_source"),
-      lit(inputSplit).as("input_split"),
+      col("input_split"),
       col("min_doc_id"), col("max_doc_id"),
       col("token_cardinality"),
       col("codec_tokens"), col("codec_lengths"),
@@ -68,7 +77,7 @@ object Pipeline {
     * in the directory is complete and valid). Metadata-only read — the
     * payload columns are pruned by the explicit select.
     */
-  def adoptOrphans(spark: SparkSession, outDir: String, inputSplit: String): Long = {
+  def adoptOrphans(spark: SparkSession, outDir: String): Long = {
     val chunksMeta =
       try {
         spark.read
@@ -84,7 +93,7 @@ object Pipeline {
     // one tiny metadata job; zero when the previous run committed cleanly
     val adopted = orphans.count()
     if (adopted > 0)
-      lineageFromChunks(orphans, inputSplit)
+      lineageFromChunks(orphans)
         .write.mode(SaveMode.Append).parquet(lineagePath(outDir))
     adopted
   }
@@ -131,13 +140,14 @@ object Pipeline {
   def readTokensForDocId(
       spark: SparkSession,
       outDir: String,
-      docId: String,
-      verifyChecksum: Boolean = true
+      docId: String
   ): Dataset[TokenRow] = {
     import spark.implicits._
     val hit = readChunks(spark, outDir)
       .filter(col("min_doc_id") <= docId && col("max_doc_id") >= docId)
-    Decoder.decode(hit, verifyChecksum).filter(_.doc_id == docId)
+    // within the surviving chunks, decode only the target doc's token
+    // slice (O(doc), not O(chunk) — Decoder.decodeDocTokens)
+    hit.flatMap(c => Decoder.decodeDocTokens(c, docId))
   }
 
   /** Projection-aware metadata read: (chunk_id, doc_id, n_tok, source)
@@ -180,7 +190,7 @@ object Pipeline {
     // that died between its chunk write and its lineage write are
     // adopted into lineage, so the left_anti below skips them instead
     // of re-encoding duplicates
-    adoptOrphans(spark, outDir, inputSplit)
+    adoptOrphans(spark, outDir)
 
     // inputSplit scopes chunk identity (Chunker.assignChunks planTag):
     // re-running the SAME split resumes/replays idempotently; a
@@ -245,7 +255,7 @@ object Pipeline {
 
     var w = 0
     while (w < wavesEff) {
-      val enc = Encoder.encode(source(w)).map { c =>
+      val enc = Encoder.encode(source(w), inputSplit).map { c =>
         if (failOnChunk(c.chunk_id))
           throw new RuntimeException(s"injected failure on chunk ${c.chunk_id}")
         c
@@ -257,10 +267,15 @@ object Pipeline {
       // zstd whole-file compression on top of our per-column codecs —
       // the reference's layering too (parquet encodings under zstd,
       // reference: schema/schema.go:38-75)
-      // Hive-partitioned by source: a decode for one source touches only
-      // its directory (partition pruning — the Spark-native analog of
-      // the reference's stats-driven row-range pruning on its sorted
-      // layout, reference: search/constraint.go:394-433)
+      // Hive-partitioned by (wave_id, source). wave_id FIRST so each
+      // wave owns its own subtree: deriving a wave's lineage reads
+      // ONLY that wave's directory — round 2 re-listed and stat-scanned
+      // the entire chunks tree every wave, O(waves x total-files)
+      // driver-side listings that become the bottleneck at 10^6-10^7
+      // chunks. The source level below it keeps decode-side partition
+      // pruning (a one-source read touches one directory per wave —
+      // the Spark-native analog of the reference's stats-driven
+      // row-range pruning, reference: search/constraint.go:394-433).
       // Bloom filters on chunk_id serve point lookups: hash-derived
       // chunk ids span the full int64 range in every row group, so
       // min/max stats never prune them — bloom is the only row-group
@@ -269,34 +284,41 @@ object Pipeline {
       // groups (~30 multi-MB chunks each; 4096 is generous headroom at
       // ~5KB/row-group) — the parquet default assumes 1M NDV and pads
       // 1MB per row group, which dwarfs small files.
-      enc.write.mode(SaveMode.Append)
+      enc.toDF().withColumn("wave_id", lit(w))
+        .write.mode(SaveMode.Append)
         .option("compression", "zstd")
         .option("parquet.bloom.filter.enabled#chunk_id", "true")
         .option("parquet.bloom.filter.expected.ndv#chunk_id", "4096")
-        .partitionBy("part_source")
+        .partitionBy("wave_id", "part_source")
         .parquet(chunksPath(outDir))
-      val writtenAll = spark.read
-        .schema(org.apache.spark.sql.Encoders.product[EncodedChunk].schema)
-        .parquet(chunksPath(outDir))
-        .filter(waveOf(col("chunk_id")) === w.toLong)
-      // on resume, the dir also holds chunks from the previous run:
-      // exclude anything already in the lineage table
-      val written = completed match {
-        case Some(done) => writtenAll.join(broadcast(done), Seq("chunk_id"), "left_anti")
-        case None => writtenAll
-      }
-      val lin = lineageFromChunks(written, inputSplit)
-      lin.write.mode(SaveMode.Append).parquet(lineagePath(outDir))
 
-      val stats = written.agg(
-        count(lit(1)), sum("n_rows"), sum("n_tokens"),
-        sum("raw_bytes"), sum("encoded_bytes")).first()
-      encoded += stats.getLong(0)
-      if (!stats.isNullAt(1)) {
-        rows += stats.getLong(1)
-        tokens += stats.getLong(2)
-        rawB += stats.getLong(3)
-        encB += stats.getLong(4)
+      // this wave's lineage, derived from this wave's directory ALONE
+      // (O(1) listings per wave). The dir is absent when the wave had
+      // nothing pending (empty append writes no partition dirs).
+      val waveDir = s"${chunksPath(outDir)}/wave_id=$w"
+      if (fsOf(spark, waveDir).exists(new org.apache.hadoop.fs.Path(waveDir))) {
+        val writtenAll = spark.read
+          .schema(org.apache.spark.sql.Encoders.product[EncodedChunk].schema)
+          .parquet(waveDir)
+        // on resume, the dir also holds chunks from the previous run:
+        // exclude anything already in the lineage table
+        val written = completed match {
+          case Some(done) => writtenAll.join(broadcast(done), Seq("chunk_id"), "left_anti")
+          case None => writtenAll
+        }
+        val lin = lineageFromChunks(written)
+        lin.write.mode(SaveMode.Append).parquet(lineagePath(outDir))
+
+        val stats = written.agg(
+          count(lit(1)), sum("n_rows"), sum("n_tokens"),
+          sum("raw_bytes"), sum("encoded_bytes")).first()
+        encoded += stats.getLong(0)
+        if (!stats.isNullAt(1)) {
+          rows += stats.getLong(1)
+          tokens += stats.getLong(2)
+          rawB += stats.getLong(3)
+          encB += stats.getLong(4)
+        }
       }
       wavesRun += 1
       w += 1

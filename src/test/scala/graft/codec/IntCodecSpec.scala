@@ -164,4 +164,64 @@ class IntCodecSpec extends AnyFunSuite {
       assert(dst.sameElements(data), s"width $width")
     }
   }
+
+  // ---- decodeRange: within-chunk point decode ---------------------------
+
+  for (codec <- IntCodec.all; (name, data) <- cases) {
+    test(s"${codec.name} decodeRange == full-decode slice on $name") {
+      val enc = codec.encode(data)
+      val full = IntCodec.decode(enc)
+      val n = data.length
+      val ranges = Seq(
+        (0, 0), (0, math.min(1, n)), (0, n),
+        (n / 3, n - n / 3), (n / 2, math.min(7, n - n / 2)),
+        (math.max(0, n - 1), n - math.max(0, n - 1)))
+      for ((start, len) <- ranges) {
+        val got = IntCodec.decodeRange(enc, start, len)
+        assert(got.length == len)
+        assert(java.util.Arrays.equals(got,
+          java.util.Arrays.copyOfRange(full, start, start + len)),
+          s"${codec.name} range [$start,+$len) on $name")
+      }
+    }
+  }
+
+  test("decodeRange bounds are checked") {
+    val enc = IntCodec.Plain.encode(Array(1, 2, 3))
+    intercept[IllegalArgumentException](IntCodec.decodeRange(enc, 2, 2))
+    intercept[IllegalArgumentException](IntCodec.decodeRange(enc, -1, 1))
+  }
+
+  test("decodeRange reads ONLY the slice's bytes (byte-addressable codecs)") {
+    // corrupt every payload byte that does NOT belong to the decoded
+    // slice; a correct range decoder never touches them. This is the
+    // O(doc)-not-O(chunk) evidence for point lookups: the codec seeks
+    // to the doc's offsets instead of materializing the chunk.
+    val data = Array.tabulate(1024)(i => 100000 + (i * 7919) % 5000)
+    val start = 400
+    val len = 37
+
+    // plain: value i occupies bytes [header + 4i, header + 4i + 4)
+    val encP = IntCodec.Plain.encode(data)
+    val headerP = encP.length - 4 * data.length
+    val want = java.util.Arrays.copyOfRange(IntCodec.decode(encP), start, start + len)
+    for (i <- data.indices if i < start || i >= start + len; b <- 0 until 4)
+      encP(headerP + 4 * i + b) = 0x5a
+    assert(java.util.Arrays.equals(IntCodec.decodeRange(encP, start, len), want),
+      "plain decodeRange read bytes outside the slice")
+
+    // forsplit: value i's plane-p byte is at planeBase(p) + i
+    val encS = IntCodec.ForSplit.encode(data)
+    val full = IntCodec.decode(encS)
+    val wantS = java.util.Arrays.copyOfRange(full, start, start + len)
+    val w = {
+      val mn = data.min; val mx = data.max
+      (BitIO.bitsLong(mx.toLong - mn.toLong) + 7) / 8
+    }
+    val planeBase = encS.length - w * data.length
+    for (p <- 0 until w; i <- data.indices if i < start || i >= start + len)
+      encS(planeBase + p * data.length + i) = 0x5a.toByte
+    assert(java.util.Arrays.equals(IntCodec.decodeRange(encS, start, len), wantS),
+      "forsplit decodeRange read bytes outside the slice")
+  }
 }

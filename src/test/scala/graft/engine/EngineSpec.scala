@@ -203,6 +203,71 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.head.tokens.sameElements(expected.tokens))
   }
 
+  test("decodeDocTokens materializes O(doc), not O(chunk)") {
+    import spark.implicits._
+    // one big chunk, many docs; pick a doc in the middle
+    val rows = (0 until 200).map { i =>
+      val len = 50 + (i * 31) % 400
+      TokenRow(f"d$i%04d", Array.tabulate(len)(j => 100000 + (i * 7919 + j * 131) % 50000), len, "web")
+    }
+    val ds = spark.createDataset(rows)
+    val chunks = Encoder.encodeTable(ds, tokensPerChunk = 1 << 30).collect()
+    assert(chunks.length == 1, "fixture must produce a single chunk")
+    val c = chunks.head
+    // this fixture's token stream selects a byte-addressable codec —
+    // the case where the slice decode is provably O(doc) (see the
+    // corruption test in IntCodecSpec); fordelta would fall back
+    info(s"tokens codec under point decode: ${c.codec_tokens}")
+    assert(c.codec_tokens != "fordelta" && c.codec_tokens != "rle")
+    val target = rows(123)
+    val got = Decoder.decodeDocTokens(c, target.doc_id)
+    assert(got.isDefined)
+    assert(got.get.tokens.sameElements(target.tokens),
+      "point decode differs from source")
+    // exactly the doc's tokens are materialized by construction
+    // (decodeRange returns a len-sized array); also: a missing key
+    assert(got.get.tokens.length == target.n_tok)
+    assert(Decoder.decodeDocTokens(c, "no-such-doc").isEmpty)
+  }
+
+  test("adopted orphans keep the input_split they were encoded under") {
+    val ds = Fixtures.tokenTable(spark, 300, seed = 41, medianLen = 64, maxLen = 512, partitions = 2)
+    val out = tmpDir()
+    Pipeline.run(spark, ds, out, tokensPerChunk = 32 * 1024, waves = 1, inputSplit = "split-A")
+    // crash window: lineage lost, chunks durable
+    val linPath = new org.apache.hadoop.fs.Path(Pipeline.lineagePath(out))
+    linPath.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(linPath, true)
+    // the adopting run does NOT know the original split — lineage must
+    // come from the chunk metadata, not the adopter's argument
+    val adopted = Pipeline.adoptOrphans(spark, out)
+    assert(adopted > 0)
+    val splits = Pipeline.readLineage(spark, out).get
+      .select("input_split").distinct().collect().map(_.getString(0)).toSeq
+    assert(splits == Seq("split-A"), s"adopted lineage lost the original split: $splits")
+  }
+
+  test("each wave owns its own chunk subdirectory (O(1) listings per wave)") {
+    val ds = Fixtures.tokenTable(spark, 900, seed = 42, medianLen = 64, maxLen = 512, partitions = 2)
+    val out = tmpDir()
+    Pipeline.run(spark, ds, out, tokensPerChunk = 16 * 1024, waves = 3)
+    // layout: chunks/wave_id=<w>/part_source=<s>/... — per-wave lineage
+    // derivation lists ONE wave_id dir, never the whole tree (round-2
+    // regression: O(waves x total-files) listings)
+    val waveDirs = new java.io.File(Pipeline.chunksPath(out))
+      .listFiles().filter(_.isDirectory).map(_.getName).filter(_.startsWith("wave_id=")).sorted
+    assert(waveDirs.nonEmpty && waveDirs.forall(_.matches("wave_id=\\d+")),
+      s"expected wave_id partition dirs, got ${waveDirs.mkString(",")}")
+    waveDirs.foreach { wd =>
+      val srcDirs = new java.io.File(Pipeline.chunksPath(out), wd)
+        .listFiles().filter(_.isDirectory).map(_.getName)
+      assert(srcDirs.forall(_.startsWith("part_source=")),
+        s"wave dir $wd lacks source partitioning: ${srcDirs.mkString(",")}")
+    }
+    // full-tree readers are unaffected
+    val v = Verifier.verify(ds, Pipeline.readChunks(spark, out))
+    assert(v.ok, s"verify failed over wave-partitioned layout: $v")
+  }
+
   test("readDocIndex returns ids/lengths without token decode") {
     import spark.implicits._
     val ds = Fixtures.tokenTable(spark, 300, seed = 34, medianLen = 64, maxLen = 512, partitions = 2)
