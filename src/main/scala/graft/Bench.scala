@@ -18,6 +18,16 @@ import graft.engine.{Encoder, Fixtures, TokenRow}
   * SparkSessions leak state that degrades later runs in-JVM), with one
   * warm-up pass (JIT) and min-of-K measured passes (this sandbox is a
   * VM with measurable CPU steal; the minimum filters that noise).
+  *
+  * Delivery contract (hardened after two rounds of storm-killed
+  * benches): the JSON line is ALWAYS printed, and its "encode" field is
+  * ALWAYS an object — built progressively from whatever was measured,
+  * with a "status" field ("complete" | "partial") and, when a child
+  * JVM died, a "fatal_child" note. Storms are survived, not fatal:
+  * child sessions carry storm-tolerant heartbeat/network timeouts, any
+  * single encode pass is bounded by a job-cancelling watchdog INSIDE
+  * the child (the warm child survives a cancelled pass and tries
+  * again), and a dead child is restarted once when budget remains.
   */
 object Bench {
 
@@ -57,14 +67,18 @@ object Bench {
       .config("spark.local.dir", fastScratch(s"local-$cpus"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // storm tolerance: round 2's local[8] child was EXECUTOR-KILLED
+      // mid-storm ("unable to send heartbeats to driver more than 60
+      // times" after 1,122 stolen vCPU-sec in one warmup). A stalled
+      // heartbeat is this sandbox's weather, not a failure — widen the
+      // intervals so a multi-minute steal storm cannot kill the JVM.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
 
-  /** Child mode: run the encode job `runs` times at local[cpus] over a
-    * fixed input, print one parseable result line with the best run.
-    */
   private def rmTree(p: String): Unit = {
     def walk(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(walk))
@@ -99,15 +113,41 @@ object Bench {
       line.trim.split("\\s+")(8).toLong // cpu: user nice sys idle iowait irq sirq STEAL
     } catch { case _: Throwable => -1L }
 
-  /** Child "serve" mode: warm up once, then run ONE measured encode
-    * pass per "pass" command on stdin. The parent interleaves passes of
-    * the local[N] and local[4N] children so each efficiency pair is
-    * measured seconds apart under the SAME ambient conditions — a
-    * sequential per-level min-of-K can pair a clean window at one level
-    * with a stormy one at the other and report garbage efficiency.
+  /** Instantaneous steal rate in jiffies/sec (100 = one stolen core).
+    * Storms on this host come in 20-40 min waves with calm gaps; a
+    * 2-second sample right before an expensive phase is a cheap
+    * launch-into-calm gate.
+    */
+  private def stealRatePerSec(sampleSecs: Double = 2.0): Double = {
+    val s0 = stealJiffies()
+    if (s0 < 0) return 0.0
+    Thread.sleep((sampleSecs * 1000).toLong)
+    math.max(0.0, (stealJiffies() - s0) / sampleSecs)
+  }
+
+  /** Child "serve" mode: warm up (budget-bounded), then run ONE measured
+    * encode pass per "pass <budgetSecs>" command on stdin. The parent
+    * interleaves passes of the local[N] and local[4N] children so each
+    * efficiency pair is measured seconds apart under the SAME ambient
+    * conditions — a sequential per-level min-of-K can pair a clean
+    * window at one level with a stormy one at the other and report
+    * garbage efficiency.
+    *
+    * Every pass runs under a watchdog that CANCELS the Spark job group
+    * when its budget expires: a storm-stretched pass reports failure
+    * ("PASS -1 ...") and the still-warm child lives to try again —
+    * round 2 lost a whole level because the only containment for a
+    * runaway pass was killing the child.
+    *
+    * Protocol (stdout): "READY <warmSecs> <degraded01>", then per
+    * command "PASS <secs> <stolenVcpuSecs> <outDirBytes>" /
+    * "DECODE <secs> <tokens>" / "BYE"; additionally one
+    * "STATS <tokens> <encodedBytes> <chunks> <diskBytes>" line as soon
+    * as a full-corpus output exists — so the parent holds all size
+    * metrics even if this JVM dies right after.
     */
   private def childServe(cpus: Int, inputPath: String, warmPath: String,
-                         tokensPerChunk: Long): Unit = {
+                         tokensPerChunk: Long, warmBudgetSecs: Double): Unit = {
     // 6 tasks/core: several waves per stage so stragglers and skew
     // average out — the same sizing philosophy as a real cluster
     val spark = session(cpus, cpus * 6)
@@ -117,79 +157,147 @@ object Bench {
     // outputs on RAM-backed scratch (see fastScratch): the one sandbox
     // disk can't scale 4x and would mask CPU scaling
     val outBase = s"${fastScratch(s"out-$cpus")}/enc"
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
 
-    def passOver(input: org.apache.spark.sql.Dataset[TokenRow], tag: String): (Double, Double) = {
-      val s0 = stealJiffies()
-      val t0 = System.nanoTime()
-      Encoder.encodeTable(input, tokensPerChunk)
-        .write.mode("overwrite").option("compression", "zstd")
-        .partitionBy("part_source") // the production (Pipeline) layout
-        .parquet(s"$outBase-$tag")
-      val secs = (System.nanoTime() - t0) / 1e9
-      val stolen = if (s0 < 0) 0.0 else (stealJiffies() - s0) / 100.0
-      System.err.println(f"[bench-child] local[$cpus] $tag: $secs%.2fs (stolen $stolen%.1fs)")
-      (secs, stolen)
+    /** Run body in a named job group with a cancel-at-budget watchdog.
+      * Returns false when the budget fired (jobs cancelled) or body
+      * threw; the SparkSession remains usable either way.
+      */
+    def runBounded(tag: String, budgetSecs: Double)(body: => Unit): Boolean = {
+      val timer = new java.util.Timer(true)
+      @volatile var fired = false
+      if (budgetSecs.isFinite && budgetSecs > 0)
+        timer.schedule(new java.util.TimerTask {
+          def run(): Unit = {
+            fired = true
+            System.err.println(f"[bench-child] local[$cpus] $tag: budget ${budgetSecs}%.0fs expired, cancelling jobs")
+            try spark.sparkContext.cancelJobGroup(tag) catch { case _: Throwable => }
+          }
+        }, (budgetSecs * 1000).toLong)
+      try {
+        spark.sparkContext.setJobGroup(tag, tag, interruptOnCancel = true)
+        body
+        !fired
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench-child] local[$cpus] $tag failed: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+          false
+      } finally {
+        timer.cancel()
+        spark.sparkContext.clearJobGroup()
+      }
     }
-    def onePass(tag: String): (Double, Double) = passOver(ds, tag)
 
-    // Two-stage warm-up: (1) a SMALL corpus pass gets JIT/codegen hot
-    // cheaply even under a steal storm (round 1 warmed on the full
-    // corpus only, and one storm-stretched 30-minute warmup blew the
-    // driver's wall budget before anything was measured); (2) ONE
-    // full-corpus pass warms what the small pass cannot — input page
-    // cache and size-dependent paths (measured: without it the first
-    // 2-3 measured passes still trend downward 20s -> 11s -> 9s and
-    // min-of-K reports a cold number).
+    /** One encode pass over `input` into outBase-tag.
+      * @return (secs, stolenVcpuSecs, ok) */
+    def passOver(input: org.apache.spark.sql.Dataset[TokenRow], tag: String,
+                 budgetSecs: Double): (Double, Double, Boolean) = {
+      val s0 = stealJiffies()
+      val tp0 = System.nanoTime()
+      val ok = runBounded(tag, budgetSecs) {
+        Encoder.encodeTable(input, tokensPerChunk)
+          .write.mode("overwrite").option("compression", "zstd")
+          .partitionBy("part_source") // the production (Pipeline) layout
+          .parquet(s"$outBase-$tag")
+      }
+      val secs = (System.nanoTime() - tp0) / 1e9
+      val stolen = if (s0 < 0) 0.0 else (stealJiffies() - s0) / 100.0
+      System.err.println(f"[bench-child] local[$cpus] $tag: $secs%.2fs (stolen $stolen%.1fs${if (ok) "" else ", FAILED"})")
+      (secs, stolen, ok)
+    }
+
+    var lastTag: String = null // last COMPLETE full-corpus output
+    var statsEmitted = false
+    def emitStatsOnce(): Unit = if (!statsEmitted && lastTag != null) {
+      val dir = s"$outBase-$lastTag"
+      val agg = spark.read.parquet(dir)
+        .agg(sum("n_tokens"), sum("encoded_bytes"), count(lit(1))).first()
+      val bytes = graft.engine.Verifier.dirBytes(dir)
+      println(s"STATS ${agg.getLong(0)} ${agg.getLong(1)} ${agg.getLong(2)} $bytes")
+      Console.flush()
+      statsEmitted = true
+    }
+
+    // Two-stage warm-up, together bounded by warmBudgetSecs (round 2
+    // spent 1,514s inside ONE storm-stretched local[2] warmup pass and
+    // blew the global deadline before measuring anything): (1) a SMALL
+    // corpus pass gets JIT/codegen hot cheaply even under a storm;
+    // (2) ONE full-corpus pass warms what the small pass cannot — input
+    // page cache and size-dependent paths (measured: without it the
+    // first 2-3 measured passes still trend downward 20s -> 11s -> 9s
+    // and min-of-K reports a cold number). When the budget fires the
+    // job is cancelled and the level proceeds degraded-but-alive.
     val warm = spark.read.parquet(warmPath).as[TokenRow]
-    val w1 = passOver(warm, "warmup-jit")._1
+    val w1ok = passOver(warm, "warmup-jit", warmBudgetSecs * 0.4)._3
     rmTree(s"$outBase-warmup-jit") // small-corpus output: wrong stats for FINAL
-    val w2 = onePass("warmup-full")._1
-    println(f"READY ${w1 + w2}%.4f"); Console.flush()
+    var degradedWarm = !w1ok
+    val fullBudget = warmBudgetSecs - elapsed
+    if (fullBudget > 30) {
+      val (_, _, ok) = passOver(ds, "warmup-full", fullBudget)
+      if (ok) lastTag = "warmup-full" else { rmTree(s"$outBase-warmup-full"); degradedWarm = true }
+    } else degradedWarm = true
+    emitStatsOnce()
+    println(f"READY $elapsed%.4f ${if (degradedWarm) 1 else 0}"); Console.flush()
+
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
     var cont = true
-    var lastTag = "warmup-full"
     while (cont) {
-      in.readLine() match {
-        case "pass" =>
-          val tag = s"m${System.nanoTime()}" // unique dir per pass
-          val (secs, stolen) = onePass(tag)
-          rmTree(s"$outBase-$lastTag") // bound tmpfs usage
+      val cmd = in.readLine()
+      if (cmd == null) cont = false
+      else if (cmd.startsWith("pass")) {
+        val budget = cmd.split(" ").drop(1).headOption.map(_.toDouble).getOrElse(Double.PositiveInfinity)
+        val tag = s"m${System.nanoTime()}" // unique dir per pass
+        val (secs, stolen, ok) = passOver(ds, tag, budget)
+        if (ok) {
+          if (lastTag != null) rmTree(s"$outBase-$lastTag") // bound tmpfs usage
           lastTag = tag
-          println(f"PASS $secs%.4f $stolen%.2f"); Console.flush()
-        case "decode" =>
-          // read-path throughput: chunks table -> checksum-verified
-          // token rows (the reference's Select/Materialize benchmark
-          // analog over our layout)
+          emitStatsOnce()
+          val bytes = graft.engine.Verifier.dirBytes(s"$outBase-$tag")
+          println(f"PASS $secs%.4f $stolen%.2f $bytes")
+        } else {
+          rmTree(s"$outBase-$tag") // partial output of a cancelled pass
+          println(f"PASS -1 $stolen%.2f 0")
+        }
+        Console.flush()
+      } else if (cmd == "decode") {
+        // read-path throughput: chunks table -> checksum-verified
+        // token rows (the reference's Select/Materialize benchmark
+        // analog over our layout)
+        if (lastTag == null) { println("DECODE -1 0"); Console.flush() }
+        else {
           import org.apache.spark.sql.functions.{sum => fsum}
           val chunks = spark.read
             .schema(org.apache.spark.sql.Encoders.product[graft.engine.EncodedChunk].schema)
             .parquet(s"$outBase-$lastTag")
             .as[graft.engine.EncodedChunk](org.apache.spark.sql.Encoders.product[graft.engine.EncodedChunk])
-          val t0 = System.nanoTime()
+          val td0 = System.nanoTime()
           val total = graft.engine.Decoder.decode(chunks)
             .map(_.n_tok.toLong)(org.apache.spark.sql.Encoders.scalaLong)
             .toDF("n").agg(fsum("n")).first().getLong(0)
-          val secs = (System.nanoTime() - t0) / 1e9
+          val secs = (System.nanoTime() - td0) / 1e9
           System.err.println(f"[bench-child] local[$cpus] decode: $secs%.2fs ($total tokens)")
           println(f"DECODE $secs%.4f $total"); Console.flush()
-        case _ => // "quit" / EOF
-          val last = s"$outBase-$lastTag"
-          val agg = spark.read.parquet(last)
-            .agg(sum("n_tokens"), sum("encoded_bytes"), count(lit(1))).first()
-          val bytes = graft.engine.Verifier.dirBytes(last)
-          println(s"FINAL ${agg.getLong(0)} ${agg.getLong(1)} ${agg.getLong(2)} $bytes")
-          Console.flush()
-          rmTree(last)
-          rmTree(fastScratch(s"local-$cpus"))
-          spark.stop()
-          cont = false
+        }
+      } else { // "quit" / unknown
+        println("BYE"); Console.flush()
+        rmTree(fastScratch(s"out-$cpus"))
+        rmTree(fastScratch(s"local-$cpus"))
+        spark.stop()
+        cont = false
       }
     }
   }
 
-  /** Handle on a forked serve-mode child. */
-  private final class ServeChild(cpus: Int, inputPath: String, warmPath: String,
-                                 tokensPerChunk: Long) {
+  final class ChildDied(msg: String) extends RuntimeException(msg)
+
+  /** Handle on a forked serve-mode child. All reads are pumped by a
+    * daemon thread into a queue, so every wait is TIMEOUT-BOUNDED —
+    * round 2's parent blocked unboundedly in readLine while a child's
+    * warmup storm-stretched past the global deadline.
+    */
+  private final class ServeChild(val cpus: Int, inputPath: String, warmPath: String,
+                                 tokensPerChunk: Long, warmBudgetSecs: Double) {
     private val javaBin = System.getProperty("java.home") + "/bin/java"
     // Heap AND GC threads sized to the child's core allotment, NOT the
     // host's 32 vCPUs. Two measured failure modes otherwise: (a) a
@@ -205,64 +313,119 @@ object Bench {
         s"-XX:ParallelGCThreads=${math.max(4, cpus)}") ++ addOpens ++ Seq(
         "-Dspark.ui.enabled=false",
         "-cp", System.getProperty("java.class.path"),
-        "graft.Bench", "serve", cpus.toString, inputPath, warmPath, tokensPerChunk.toString)
+        "graft.Bench", "serve", cpus.toString, inputPath, warmPath,
+        tokensPerChunk.toString, f"$warmBudgetSecs%.0f")
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       pb.start()
     }
-    private val out = new java.io.BufferedReader(new java.io.InputStreamReader(p.getInputStream))
     private val cmdIn = new java.io.PrintWriter(p.getOutputStream, true)
+    private val lines = new java.util.concurrent.LinkedBlockingQueue[String]()
+    private val Eof = "<<child-eof>>"
 
-    private def readTagged(tag: String): String = {
-      var line = out.readLine()
-      while (line != null && !line.startsWith(tag)) line = out.readLine()
-      require(line != null, s"bench child local[$cpus] died before '$tag'")
-      line
+    /** (tokens, encodedBytes, chunks, onDiskBytes) — captured from the
+      * child's STATS line the moment a full-corpus output exists.
+      */
+    @volatile var stats: Option[(Long, Long, Long, Long)] = None
+    @volatile var warmDegraded = false
+
+    locally {
+      val reader = new Thread(() => {
+        try {
+          val out = new java.io.BufferedReader(new java.io.InputStreamReader(p.getInputStream))
+          var line = out.readLine()
+          while (line != null) {
+            if (line.startsWith("STATS ")) {
+              val a = line.split(" ")
+              stats = Some((a(1).toLong, a(2).toLong, a(3).toLong, a(4).toLong))
+            } else lines.put(line)
+            line = out.readLine()
+          }
+        } catch { case _: Throwable => }
+        lines.put(Eof)
+      }, s"bench-child-reader-$cpus")
+      reader.setDaemon(true)
+      reader.start()
+    }
+
+    def alive: Boolean = p.isAlive
+    def destroy(): Unit = { try p.destroyForcibly() catch { case _: Throwable => } }
+
+    private def readTagged(tag: String, timeoutSecs: Double): String = {
+      val deadline = System.nanoTime() + (timeoutSecs * 1e9).toLong
+      while (true) {
+        val waitMs = math.max(1L, (deadline - System.nanoTime()) / 1000000L)
+        val line = lines.poll(waitMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+        if (line == null) {
+          destroy()
+          throw new ChildDied(f"bench child local[$cpus] sent no '$tag' within $timeoutSecs%.0fs")
+        }
+        if (line == Eof) {
+          lines.put(Eof) // keep the sentinel for any later read
+          throw new ChildDied(s"bench child local[$cpus] died before '$tag'")
+        }
+        if (line.startsWith(tag)) return line
+      }
+      throw new IllegalStateException("unreachable")
     }
 
     /** Wait for the child's warm-up to finish → warm-up seconds. */
-    def awaitReady(): Double = readTagged("READY").split(" ")(1).toDouble
+    def awaitReady(timeoutSecs: Double): Double = {
+      val parts = readTagged("READY", timeoutSecs).split(" ")
+      warmDegraded = parts.length > 2 && parts(2) == "1"
+      parts(1).toDouble
+    }
 
-    /** One measured pass → (secs, stolenVcpuSecs). */
-    def pass(): (Double, Double) = {
-      cmdIn.println("pass")
-      val parts = readTagged("PASS").split(" ")
-      (parts(1).toDouble, parts(2).toDouble)
+    /** One measured pass. None = the pass overran its budget and was
+      * cancelled child-side (child stays warm and usable).
+      * @return Some((secs, stolenVcpuSecs)) on success */
+    def pass(budgetSecs: Double): Option[(Double, Double)] = {
+      cmdIn.println(f"pass $budgetSecs%.0f")
+      val parts = readTagged("PASS", budgetSecs + 90).split(" ")
+      val secs = parts(1).toDouble
+      if (secs < 0) None else Some((secs, parts(2).toDouble))
     }
 
     /** One timed decode of the last written output → (secs, tokens). */
-    def decode(): (Double, Long) = {
+    def decode(timeoutSecs: Double): Option[(Double, Long)] = {
       cmdIn.println("decode")
-      val parts = readTagged("DECODE").split(" ")
-      (parts(1).toDouble, parts(2).toLong)
+      val parts = readTagged("DECODE", timeoutSecs).split(" ")
+      val secs = parts(1).toDouble
+      if (secs < 0) None else Some((secs, parts(2).toLong))
     }
 
-    /** Stop the child → (tokens, encodedBytes, chunks, onDiskBytes). */
-    def quit(): (Long, Long, Long, Long) = {
-      cmdIn.println("quit")
-      val parts = readTagged("FINAL").split(" ")
-      p.waitFor()
-      (parts(1).toLong, parts(2).toLong, parts(3).toLong, parts(4).toLong)
+    /** Stop the child (it cleans its tmpfs scratch on the way out). */
+    def quit(): Unit = {
+      try {
+        cmdIn.println("quit")
+        readTagged("BYE", 90)
+        p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+      } catch { case _: Throwable => }
+      destroy()
+      // belt and braces: a destroyed child cannot clean its scratch
+      rmTree(fastScratch(s"out-$cpus"))
+      rmTree(fastScratch(s"local-$cpus"))
     }
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.length >= 5 && args(0) == "serve") {
-      childServe(args(1).toInt, args(2), args(3), args(4).toLong)
+    if (args.length >= 6 && args(0) == "serve") {
+      childServe(args(1).toInt, args(2), args(3), args(4).toLong, args(5).toDouble)
       return
     }
 
     // ---- always-emit contract ------------------------------------------
     // Round 1 DNF'd (rc=124): the 1B-token corpus could not finish
     // warmup+pairs inside the driver's wall budget under steal storms,
-    // and no JSON line was ever printed — a bench that never prints
-    // scores zero regardless of how honest its methodology is. Round 2:
-    // a global deadline, checked between phases/pairs, after which the
-    // JSON is emitted with whatever clean measurements exist plus
-    // "degraded":true; any uncaught failure also emits the line.
+    // and no JSON line was ever printed. Round 2 printed the line but
+    // with "encode":null after a child died — equally unparseable for
+    // the driver. Round 3 contract: a global deadline bounds every
+    // phase INCLUDING warmup (child-side job-cancel watchdogs), and the
+    // "encode" object is built progressively — whatever was measured is
+    // emitted, with "status" telling the reader how far the run got.
     val wallT0 = System.nanoTime()
     val deadlineSecs =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SECS", "1200").toLong
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SECS", "1500").toLong
     def elapsedSecs: Double = (System.nanoTime() - wallT0) / 1e9
     def leftSecs: Double = deadlineSecs - elapsedSecs
 
@@ -293,8 +456,6 @@ object Bench {
     var errors = Vector.empty[(String, String)]
     var degraded = false
     var fatal: Option[String] = None
-    var stockBytes = -1L
-    var encodeJson: Option[String] = None
     var emitted = false
 
     def jstr(s: String): String =
@@ -305,6 +466,13 @@ object Bench {
         case c => c.toString
       } + "\""
 
+    // the encode object, built progressively: every successfully
+    // measured quantity lands here the moment it exists, so the final
+    // JSON carries it even if a later phase dies
+    val encFields = scala.collection.mutable.LinkedHashMap[String, String](
+      "status" -> jstr("not_started"))
+    def setEnc(kvs: (String, String)*): Unit = kvs.foreach { case (k, v) => encFields(k) = v }
+
     def emit(): Unit = if (!emitted) {
       emitted = true
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -312,7 +480,7 @@ object Bench {
       val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(300))}" }
         .mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
-      val enc = encodeJson.getOrElse("null")
+      val enc = encFields.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
       val fatalJson = fatal.map(jstr).getOrElse("null")
       println(
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
@@ -350,6 +518,9 @@ object Bench {
       }
 
       // ---- part 2: encode scaling over identical input ----------------
+      setEnc("status" -> jstr("partial"),
+        "rows" -> benchRows.toString,
+        "cpus_low" -> lowCpus.toString, "cpus_high" -> highCpus.toString)
       val base = java.nio.file.Files.createTempDirectory("graft-bench").toString
       val inputPath = s"$base/input"
       val warmPath = s"$base/warm"
@@ -357,117 +528,254 @@ object Bench {
         .write.mode("overwrite").parquet(inputPath)
       Fixtures.tokenTable(spark0, math.max(benchRows / 10, 1000), seed = 43L, partitions = 16)
         .write.mode("overwrite").parquet(warmPath)
+      // token count from the INPUT, not from a child's final output:
+      // throughput stays computable even if every child later dies
+      val toks = spark0.read.parquet(inputPath)
+        .agg(sum("n_tok")).first().getLong(0)
+      setEnc("tokens" -> toks.toString)
       // reference size: stock Spark parquet+zstd of the same rows.
       // untimed baseline write: coalesce bounds concurrent 128MB parquet
       // writer buffers (32 writers OOM an 8-24g heap on a 4GB corpus)
       val stockPath = s"$base/stock"
       spark0.read.parquet(inputPath).coalesce(8).write
         .mode("overwrite").option("compression", "zstd").parquet(stockPath)
-      stockBytes = graft.engine.Verifier.dirBytes(stockPath)
+      val stockBytes = graft.engine.Verifier.dirBytes(stockPath)
+      setEnc("stock_parquet_zstd_bytes" -> stockBytes.toString)
       spark0.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
 
       val tokensPerChunk = graft.engine.Chunker.DefaultTokensPerChunk
 
+      // calm-launch gate: storms come in 20-40 min waves with calm
+      // gaps — burn a bounded slice of budget waiting out an active
+      // storm rather than launching two warmups into it
+      def awaitCalm(maxWaitSecs: Double): Boolean = {
+        var waited = 0.0
+        var rate = stealRatePerSec()
+        while (rate > 25 && waited < maxWaitSecs) {
+          System.err.println(f"[bench] steal rate $rate%.0f jiffies/s — waiting for calm (${maxWaitSecs - waited}%.0fs left)")
+          Thread.sleep(8000)
+          waited += 10
+          rate = stealRatePerSec()
+        }
+        rate <= 25
+      }
+      if (leftSecs > 600) awaitCalm(math.min(240, leftSecs * 0.2))
+
       // Interleaved paired measurement: both children stay alive; each
       // efficiency pair is (low pass, high pass) run back-to-back so both
-      // levels see the same ambient conditions. A pair is clean when
-      // neither pass lost >5% of its allotted vCPU-time to steal; among
-      // clean pairs the one with the least combined normalized time wins.
-      val low = new ServeChild(lowCpus, inputPath, warmPath, tokensPerChunk)
-      val high = new ServeChild(highCpus, inputPath, warmPath, tokensPerChunk)
-      low.awaitReady(); high.awaitReady()
+      // levels see the same ambient conditions.
+      val warmBudget = math.max(120.0, math.min(900.0, leftSecs * 0.45))
+      def fork(c: Int) = new ServeChild(c, inputPath, warmPath, tokensPerChunk, warmBudget)
+      var low = fork(lowCpus)
+      var high = fork(highCpus)
+      var lowAlive = true
+      var highAlive = true
+      var restartsLeft = 1
+      def awaitBoth(): Unit = {
+        val t = warmBudget + 240 // child-side watchdog + grace
+        if (lowAlive) try {
+          val w = low.awaitReady(t)
+          setEnc("warmup_secs_low" -> f"$w%.1f")
+          if (low.warmDegraded) degraded = true
+        } catch { case e: ChildDied => lowAlive = false; degraded = true
+          setEnc("fatal_child" -> jstr(e.getMessage)) }
+        if (highAlive) try {
+          val w = high.awaitReady(t)
+          setEnc("warmup_secs_high" -> f"$w%.1f")
+          if (high.warmDegraded) degraded = true
+        } catch { case e: ChildDied => highAlive = false; degraded = true
+          setEnc("fatal_child" -> jstr(e.getMessage)) }
+      }
+      awaitBoth()
+
+      // measurement state — updated after every pass so the emitted
+      // object always reflects everything measured so far
+      var lowSecs = Vector.empty[Double]
+      var highSecs = Vector.empty[Double]
+      // (secsLow, secsHigh, baseClean = steal+canary verdicts only; the
+      // near-best criterion is applied AFTER the loop against the final
+      // best pair, so an early stormy pair can't be grandfathered clean)
+      var pairRecords = Vector.empty[(Double, Double, Boolean)]
+      var attempts = 0
+
+      def pushStats(): Unit = {
+        val st = (if (highAlive) high.stats else None).orElse(if (lowAlive) low.stats else None)
+        st.foreach { case (sToks, encBytes, nChunks, ourBytes) =>
+          setEnc(
+            "chunks" -> nChunks.toString,
+            "encoded_bytes" -> encBytes.toString,
+            // bytes_per_token is DISK bytes (after the file-level zstd
+            // the format stacks on the codecs — the number BASELINE.md
+            // quotes); pre_zstd_bytes_per_token is the raw codec output
+            "pre_zstd_bytes_per_token" -> f"${encBytes.toDouble / sToks}%.4f",
+            "bytes_per_token" -> f"${ourBytes.toDouble / sToks}%.4f",
+            "our_disk_bytes" -> ourBytes.toString,
+            "size_vs_stock" -> f"${ourBytes.toDouble / stockBytes}%.4f")
+        }
+      }
+      pushStats()
+
+      def refreshDerived(prevCanary: Double, bestCanary: Double): Unit = {
+        if (lowSecs.nonEmpty) setEnc("secs_low" -> f"${lowSecs.min}%.2f",
+          "tokens_per_sec_low" -> (toks / lowSecs.min).toLong.toString)
+        if (highSecs.nonEmpty) setEnc("secs_high" -> f"${highSecs.min}%.2f",
+          "tokens_per_sec_high" -> (toks / highSecs.min).toLong.toString)
+        setEnc("measured_pairs" -> pairRecords.length.toString,
+          "pass_attempts" -> attempts.toString,
+          "ambient_canary_secs" -> f"$bestCanary%.2f")
+        // per-level minima estimate: storms only slow passes, so each
+        // level's minimum is its least-polluted observation — but the
+        // two minima may come from DIFFERENT ambient windows, so this is
+        // the SECONDARY estimate (see scaling_efficiency selection)
+        if (lowSecs.nonEmpty && highSecs.nonEmpty) {
+          val eff = ((toks / highSecs.min) / (toks / lowSecs.min)) / (highCpus.toDouble / lowCpus)
+          setEnc("scaling_efficiency_minima" -> f"$eff%.3f")
+        }
+        // same-ambient clean pairs: near-best recomputed against the
+        // CURRENT best pair cost (a stormy first pair is never
+        // permanently "clean" just because nothing better existed yet)
+        if (pairRecords.nonEmpty) {
+          val costs = pairRecords.map { case (a, b, _) => a + (highCpus.toDouble / lowCpus) * b }
+          val bestCost = costs.min
+          val clean = pairRecords.zip(costs).collect {
+            case ((a, b, baseOk), c) if baseOk && c <= 1.3 * bestCost => (a, b)
+          }
+          setEnc("clean_passes" -> clean.length.toString)
+          if (clean.nonEmpty) {
+            val (pl, ph) = clean.minBy { case (a, b) => a + (highCpus.toDouble / lowCpus) * b }
+            val paired = (pl / ph) / (highCpus.toDouble / lowCpus)
+            setEnc("scaling_efficiency_paired" -> f"$paired%.3f")
+          }
+          // headline selection (the honesty fix): a clean same-ambient
+          // pair is the trustworthy estimator; per-level minima can pair
+          // a clean window at one level with storm-inflated other level
+          // and overstate. Minima headline ONLY when no clean pair exists
+          // (and that run is already marked degraded).
+          val headline =
+            if (clean.nonEmpty) Some(encFields("scaling_efficiency_paired"))
+            else encFields.get("scaling_efficiency_minima")
+          headline.foreach(h => setEnc("scaling_efficiency" -> h,
+            "efficiency_estimator" -> jstr(if (clean.nonEmpty) "paired" else "minima")))
+          for (p <- encFields.get("scaling_efficiency_paired").map(_.toDouble);
+               m <- encFields.get("scaling_efficiency_minima").map(_.toDouble))
+            setEnc("estimates_diverge" -> (math.abs(p - m) > 0.05).toString)
+        } else if (lowSecs.nonEmpty && highSecs.nonEmpty) {
+          setEnc("clean_passes" -> "0",
+            "scaling_efficiency" -> encFields("scaling_efficiency_minima"),
+            "efficiency_estimator" -> jstr("minima"))
+        }
+      }
+
+      def passBudget(best: Option[Double]): Double =
+        best.map(b => math.max(150.0, 6 * b + 60)).getOrElse(900.0)
+
+      def handleDeath(which: String, e: ChildDied): Unit = {
+        System.err.println(s"[bench] ${e.getMessage}")
+        setEnc("fatal_child" -> jstr(e.getMessage))
+        degraded = true
+        val canRestart = restartsLeft > 0 && leftSecs > warmBudget * 0.6 + 200
+        if (which == "low") { lowAlive = false } else { highAlive = false }
+        if (canRestart) {
+          restartsLeft -= 1
+          System.err.println(s"[bench] restarting $which child (${leftSecs.toInt}s left)")
+          if (which == "low") { low = fork(lowCpus); lowAlive = true }
+          else { high = fork(highCpus); highAlive = true }
+          try {
+            val w = if (which == "low") low.awaitReady(warmBudget + 240) else high.awaitReady(warmBudget + 240)
+            setEnc(s"warmup_secs_${which}_restart" -> f"$w%.1f")
+          } catch {
+            case e2: ChildDied =>
+              if (which == "low") lowAlive = false else highAlive = false
+              setEnc("fatal_child" -> jstr(e2.getMessage))
+          }
+        }
+      }
 
       val maxPairs = runs * 3
-      var pairs = List.empty[(Double, Double, Boolean)] // (secsLow, secsHigh, clean)
-      var cleanPairs = 0
       var prevCanary = canarySecs()
       var bestCanary = prevCanary
-      var i = 0
+      var lastPairSecs = 0.0
+      var cleanEnough = false
       // the FIRST pair always runs (even past deadline — one measurement
       // beats none); later pairs respect both the clean-run target and
       // the global deadline, and a pair is not STARTED unless the
-      // remaining budget plausibly covers it (a pair in flight cannot
-      // be interrupted, so deadline checks only between pairs would
-      // overshoot by a full storm-stretched pair)
-      var lastPairSecs = 0.0
-      while (i < maxPairs &&
-             (i == 0 || ((cleanPairs < runs || i < runs) &&
-               leftSecs > 0.8 * lastPairSecs))) {
-        val (sl, stl) = low.pass()
-        val (sh, sth) = high.pass()
-        lastPairSecs = sl + sh
-        val cn = canarySecs()
-        // two independent storm detectors, both must pass: (a) /proc/stat steal
-        // <= 5% of each pass's vCPU allotment; (b) the single-thread
-        // canary bracketing the pair stays near its best — this host
-        // shows 3-10x throttling phases with NEAR-ZERO reported steal
-        // (measured: a 183s pass, 4x slow, with 2.6% steal), which (a)
-        // alone waves through
-        val stealOk = stl <= 0.05 * lowCpus * sl && sth <= 0.05 * highCpus * sh
-        val canaryOk = math.max(prevCanary, cn) <= math.max(0.9, 1.5 * bestCanary)
-        // (c) near-best: multi-core co-tenant contention slows passes
-        // 2-5x while steal stays low AND the single-thread canary stays
-        // fast; a pair >30% off the best normalized pair so far does
-        // not count toward the clean quota, so the loop keeps sampling
-        // (bounded by maxPairs/deadline) instead of settling for a
-        // contended window
-        val cost = sl + 4 * sh
-        val nearBest = pairs.map { case (a, b, _) => a + 4 * b }
-          .minOption.forall(best => cost <= 1.3 * math.min(best, cost))
-        val clean = stealOk && canaryOk && nearBest
-        System.err.println(f"[bench] pair$i: low $sl%.2fs high $sh%.2fs canary $cn%.2fs${if (clean) "" else " (storm-polluted)"}")
-        prevCanary = cn
-        if (cn < bestCanary) bestCanary = cn
-        pairs ::= (sl, sh, clean)
-        if (clean) cleanPairs += 1
-        i += 1
-      }
-      // degraded = the clean-pair quota was not met: numbers exist but
-      // at least one level never escaped co-tenant contention
-      if (cleanPairs < runs) degraded = true
-      // Per-level MINIMUM across all pairs: storms only ever slow a
-      // pass, so each level's minimum is its least-polluted observation
-      // (the round-1 min-of-clean-passes methodology). A same-ambient
-      // clean pair yields both minima from one pair; under one-sided
-      // pollution the minima stay closer to truth than any single pair.
-      // The best clean PAIR is reported alongside for comparison.
-      val secsLow = pairs.map(_._1).min
-      val secsHigh = pairs.map(_._2).min
-      val cleanOnly = pairs.filter(_._3)
-      val pairedEff =
-        if (cleanOnly.isEmpty) -1.0
-        else {
-          val (pl, ph, _) = cleanOnly.minBy { case (sl, sh, _) => sl + 4 * sh }
-          (pl / ph) / (highCpus.toDouble / lowCpus)
+      // remaining budget plausibly covers it
+      while (lowAlive && highAlive && attempts < maxPairs && !cleanEnough &&
+             (attempts == 0 || leftSecs > 0.8 * lastPairSecs)) {
+        if (attempts > 0 && lastPairSecs > 0 && leftSecs > 3 * lastPairSecs)
+          awaitCalm(math.min(90, leftSecs - 1.5 * lastPairSecs))
+        attempts += 1
+        val tp0 = System.nanoTime()
+        try {
+          val rl = low.pass(passBudget(lowSecs.minOption))
+          val rh = high.pass(passBudget(highSecs.minOption))
+          lastPairSecs = (System.nanoTime() - tp0) / 1e9
+          val cn = canarySecs()
+          rl.foreach { case (s, _) => lowSecs :+= s }
+          rh.foreach { case (s, _) => highSecs :+= s }
+          (rl, rh) match {
+            case (Some((sl, stl)), Some((sh, sth))) =>
+              // two base storm detectors: (a) /proc/stat steal <= 5% of
+              // each pass's vCPU allotment; (b) the single-thread canary
+              // bracketing the pair stays near its best — this host
+              // shows 3-10x throttling with NEAR-ZERO reported steal.
+              // Detector (c), near-best pair cost, is applied in
+              // refreshDerived against the FINAL best (advice fix: the
+              // in-loop version could never flag the first pair).
+              val stealOk = stl <= 0.05 * lowCpus * sl && sth <= 0.05 * highCpus * sh
+              val canaryOk = math.max(prevCanary, cn) <= math.max(0.9, 1.5 * bestCanary)
+              pairRecords :+= ((sl, sh, stealOk && canaryOk))
+              System.err.println(f"[bench] pair$attempts: low $sl%.2fs high $sh%.2fs canary $cn%.2fs${if (stealOk && canaryOk) "" else " (storm-polluted)"}")
+            case _ =>
+              System.err.println(f"[bench] pair$attempts: a pass overran its budget and was cancelled")
+          }
+          prevCanary = cn
+          if (cn < bestCanary) bestCanary = cn
+          pushStats()
+          refreshDerived(prevCanary, bestCanary)
+          // stop once enough same-ambient clean pairs exist
+          cleanEnough = encFields.get("clean_passes").exists(_.toInt >= runs) && attempts >= runs
+        } catch {
+          case e: ChildDied =>
+            lastPairSecs = (System.nanoTime() - tp0) / 1e9
+            val which = if (!low.alive) "low" else "high"
+            handleDeath(which, e)
         }
-      val (decSecs, decToks) = high.decode()
-      val (toks, encBytes, nChunks, ourBytes) = high.quit()
-      low.quit()
+      }
 
-      val thrLow = toks / secsLow
-      val thrHigh = toks / secsHigh
-      val eff = (thrHigh / thrLow) / (highCpus.toDouble / lowCpus)
+      // a lone surviving child can still firm up its own level's minimum
+      // (feeds the minima estimate + throughput at that level)
+      if (lowAlive != highAlive && leftSecs > 60) {
+        val (c, secsSoFar) = if (lowAlive) (low, lowSecs) else (high, highSecs)
+        if (secsSoFar.isEmpty) {
+          try c.pass(passBudget(None)).foreach { case (s, _) =>
+            if (lowAlive) lowSecs :+= s else highSecs :+= s
+          } catch { case _: ChildDied => if (lowAlive) lowAlive = false else highAlive = false }
+          pushStats()
+          refreshDerived(prevCanary, bestCanary)
+        }
+      }
 
-      encodeJson = Some(
-        f""""rows":$benchRows,"tokens":$toks,"chunks":$nChunks,""" +
-          f""""cpus_low":$lowCpus,"cpus_high":$highCpus,""" +
-          f""""secs_low":$secsLow%.2f,"secs_high":$secsHigh%.2f,""" +
-          f""""clean_passes":$cleanPairs,"measured_pairs":$i,""" +
-          f""""ambient_canary_secs":$bestCanary%.2f,""" +
-          f""""tokens_per_sec_low":${thrLow.toLong},"tokens_per_sec_high":${thrHigh.toLong},""" +
-          f""""decode_secs_high":$decSecs%.2f,"decode_tokens_per_sec":${(decToks / decSecs).toLong},""" +
-          f""""scaling_efficiency":$eff%.3f,""" +
-          f""""scaling_efficiency_paired":$pairedEff%.3f,""" +
-          // bytes_per_token is DISK bytes (after the file-level zstd the
-          // format stacks on the codecs — the number BASELINE.md quotes);
-          // pre_zstd_bytes_per_token is the raw codec output for reference
-          f""""encoded_bytes":$encBytes,"pre_zstd_bytes_per_token":${encBytes.toDouble / toks}%.4f,""" +
-          f""""bytes_per_token":${ourBytes.toDouble / toks}%.4f,""" +
-          f""""our_disk_bytes":$ourBytes,"stock_parquet_zstd_bytes":$stockBytes,""" +
-          f""""size_vs_stock":${ourBytes.toDouble / stockBytes}%.4f""")
-        .map(s => "{" + s + "}")
+      if (encFields.get("clean_passes").forall(_.toInt < runs)) degraded = true
+
+      // decode throughput from whichever child survives (prefer high)
+      val decodeFrom =
+        if (highAlive) Some((high, highCpus)) else if (lowAlive) Some((low, lowCpus)) else None
+      decodeFrom.foreach { case (c, dc) =>
+        try c.decode(math.max(180, math.min(600, leftSecs + 120))).foreach { case (ds, dt) =>
+          setEnc("decode_cpus" -> dc.toString,
+            "decode_secs" -> f"$ds%.2f",
+            "decode_tokens_per_sec" -> (dt / ds).toLong.toString)
+        } catch { case e: ChildDied => setEnc("fatal_child" -> jstr(e.getMessage)) }
+      }
+
+      if (lowAlive) low.quit()
+      if (highAlive) high.quit()
+      val complete = encFields.contains("scaling_efficiency") &&
+        encFields.contains("bytes_per_token") && !encFields.contains("fatal_child")
+      setEnc("status" -> jstr(if (complete) "complete" else "partial"))
     } catch {
       case e: Throwable =>
         degraded = true
