@@ -552,26 +552,35 @@ object SparkEntry {
       val bands = 4
       val nVec = t(s, dir, "embeddings").count()
       val bitsPerBand = graft.similarity.Lsh.bitsPerBandFor(nVec, bands)
+      // candidate generation ships ONLY (vec_id, band, sig) through the
+      // self-join — embeddings (the wide column) are re-attached by id
+      // AFTER the candidate distinct, so vectors are never shuffled
+      // through the band join (at 10^9 vectors the band join's shuffle
+      // would otherwise carry every vector once per band)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id").cast("long"), col("embedding"))
         .as[(Long, Array[Float])]
         .map { case (id, emb) =>
           val full = graft.similarity.Lsh.signature(emb, nBits = bands * bitsPerBand)
           val sigs = Array.tabulate(bands)(b => (full >>> (b * bitsPerBand)) & ((1 << bitsPerBand) - 1))
-          (id, emb, sigs)
+          (id, sigs)
         }
-        .toDF("vec_id", "embedding", "sigs")
-      val banded = e.select(col("vec_id"), col("embedding"),
-        posexplode(col("sigs")).as(Seq("band", "sig")))
-      val l = banded.select(col("band"), col("sig"), col("vec_id").as("a"), col("embedding").as("ea"))
-      val r = banded.select(col("band"), col("sig"), col("vec_id").as("b"), col("embedding").as("eb"))
+        .toDF("vec_id", "sigs")
+      val banded = e.select(col("vec_id"), posexplode(col("sigs")).as(Seq("band", "sig")))
+      val cand = banded.select(col("band"), col("sig"), col("vec_id").as("a"))
+        .join(banded.select(col("band"), col("sig"), col("vec_id").as("b")),
+          Seq("band", "sig"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"))
+        .dropDuplicates("a", "b") // a pair may collide in several bands
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long"), col("embedding"))
       val dot = expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
       val na = expr("sqrt(aggregate(transform(ea, x -> x * x), 0D, (acc, x) -> acc + double(x)))")
       val nb = expr("sqrt(aggregate(transform(eb, x -> x * x), 0D, (acc, x) -> acc + double(x)))")
-      l.join(r, Seq("band", "sig"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b"), col("ea"), col("eb"))
-        .dropDuplicates("a", "b") // a pair may collide in several bands
+      cand
+        .join(vecs.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+        .join(vecs.select(col("vec_id").as("b"), col("embedding").as("eb")), Seq("b"))
         .withColumn("cos", dot / (na * nb))
         .filter(col("cos") > 0.4)
         .select(col("a"), col("b"))
