@@ -438,28 +438,24 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
-    // SimHash 16-bit signatures (bit-majority over word hashes)
+    // SimHash 16-bit signatures (Charikar 2002): bit-majority over
+    // per-word hashes. Word hash = first 16 bits of md5 — deterministic
+    // and engine-portable, so the whole signature is DuckDB-oracle-
+    // checkable (the earlier JVM-hashCode variant was rows-only).
+    // Pure codegen'd SQL functions: explode -> 16 conditional partial
+    // sums -> bit reassembly; no UDF, scales as a plain groupBy.
     "q31_simhash" -> ((s, dir) => {
-      val spark = s
-      import spark.implicits._
-      t(s, dir, "documents").select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .map { case (id, text) =>
-          val acc = new Array[Int](16)
-          text.split(' ').foreach { wrd =>
-            val h = wrd.hashCode
-            var b = 0
-            while (b < 16) {
-              if (((h >>> b) & 1) == 1) acc(b) += 1 else acc(b) -= 1
-              b += 1
-            }
-          }
-          var sig = 0
-          var b = 0
-          while (b < 16) { if (acc(b) > 0) sig |= 1 << b; b += 1 }
-          (id, sig.toLong)
-        }
-        .toDF("doc_id", "simhash")
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("w")), 1, 4), 16, 10).cast("int").as("h"))
+      val bitSums = (0 until 16).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)).as(s"b$b"))
+      words.groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 16).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
         .orderBy(col("doc_id"))
     }),
 
@@ -817,6 +813,25 @@ object SparkEntry {
         |  SELECT source, unnest(string_split(text, '')) AS ch
         |  FROM documents WHERE text <> '')
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q31_simhash" -> {
+      val bitSums = (0 until 16)
+        .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+        .mkString(",\n    ")
+      val sig = (0 until 16)
+        .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substring(md5(w), 1, 4)) AS INTEGER) AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+         |b AS (
+         |  SELECT doc_id,
+         |    $bitSums
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($sig AS BIGINT) AS simhash
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
 
     "q22_media_meta" ->
       """SELECT doc_id,
