@@ -103,6 +103,29 @@ object Bench {
     s
   }
 
+  /** Effective parallel cores the host delivers RIGHT NOW: n identical
+    * fixed busy-loops run concurrently vs one alone → n * t1 / tN
+    * (8.0 = perfect 8-way). The decisive detector for this sandbox's
+    * worst weather mode: sustained phases where the host delivers only
+    * ~2 cores of real parallelism — an 8-thread pass then times like a
+    * 2-thread one, steal stays near zero, the single-thread canary
+    * stays fast, and a (low, high) pair measured there is stable,
+    * near-best and "clean" by every per-pass detector while its
+    * efficiency is garbage. Scaling cannot be EVIDENCED in a window
+    * that cannot physically deliver the high level's cores; pairs
+    * measured in one are marked capacity-limited, never clean.
+    */
+  private def effectiveCores(nThreads: Int): Double = {
+    def loopSecs(): Double = canarySecs()
+    val t1 = loopSecs()
+    val t0 = System.nanoTime()
+    val threads = Array.tabulate(nThreads)(_ => new Thread(() => { loopSecs(); () }))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val tN = (System.nanoTime() - t0) / 1e9
+    nThreads * t1 / tN
+  }
+
   /** Total stolen vCPU jiffies since boot (this Firecracker host sees
     * multi-minute storms of 1-4 stolen cores that make a single pass
     * 3-10x slow). Returns -1 when unavailable (non-Linux).
@@ -424,8 +447,13 @@ object Bench {
     // "encode" object is built progressively — whatever was measured is
     // emitted, with "status" telling the reader how far the run got.
     val wallT0 = System.nanoTime()
+    // 1800s: the driver demonstrably tolerates ~3500s of wall (round 2
+    // completed at 3427s); 1800 + worst-case overshoot (one in-flight
+    // pass + decode + emit) stays safely under that while leaving twice
+    // the pair-measurement budget of the old 1200-1500s settings —
+    // in degraded weather a single pair costs 250-450s
     val deadlineSecs =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SECS", "1500").toLong
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SECS", "1800").toLong
     def elapsedSecs: Double = (System.nanoTime() - wallT0) / 1e9
     def leftSecs: Double = deadlineSecs - elapsedSecs
 
@@ -521,13 +549,22 @@ object Bench {
       setEnc("status" -> jstr("partial"),
         "rows" -> benchRows.toString,
         "cpus_low" -> lowCpus.toString, "cpus_high" -> highCpus.toString)
-      val base = java.nio.file.Files.createTempDirectory("graft-bench").toString
+      // Fixtures are DETERMINISTIC (fixed seeds) — cache them across
+      // bench invocations in this sandbox boot instead of regenerating
+      // ~200s of corpus + stock baseline every run; in degraded weather
+      // that is most of a measurement pair's budget.
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft-bench-fixtures-$benchRows-42").getAbsolutePath
       val inputPath = s"$base/input"
       val warmPath = s"$base/warm"
-      Fixtures.tokenTable(spark0, benchRows, seed = 42L, partitions = 64)
-        .write.mode("overwrite").parquet(inputPath)
-      Fixtures.tokenTable(spark0, math.max(benchRows / 10, 1000), seed = 43L, partitions = 16)
-        .write.mode("overwrite").parquet(warmPath)
+      val stockPath = s"$base/stock"
+      def hasSuccess(p: String) = new java.io.File(p, "_SUCCESS").isFile
+      if (!hasSuccess(inputPath))
+        Fixtures.tokenTable(spark0, benchRows, seed = 42L, partitions = 64)
+          .write.mode("overwrite").parquet(inputPath)
+      if (!hasSuccess(warmPath))
+        Fixtures.tokenTable(spark0, math.max(benchRows / 10, 1000), seed = 43L, partitions = 16)
+          .write.mode("overwrite").parquet(warmPath)
       // token count from the INPUT, not from a child's final output:
       // throughput stays computable even if every child later dies
       val toks = spark0.read.parquet(inputPath)
@@ -536,9 +573,9 @@ object Bench {
       // reference size: stock Spark parquet+zstd of the same rows.
       // untimed baseline write: coalesce bounds concurrent 128MB parquet
       // writer buffers (32 writers OOM an 8-24g heap on a 4GB corpus)
-      val stockPath = s"$base/stock"
-      spark0.read.parquet(inputPath).coalesce(8).write
-        .mode("overwrite").option("compression", "zstd").parquet(stockPath)
+      if (!hasSuccess(stockPath))
+        spark0.read.parquet(inputPath).coalesce(8).write
+          .mode("overwrite").option("compression", "zstd").parquet(stockPath)
       val stockBytes = graft.engine.Verifier.dirBytes(stockPath)
       setEnc("stock_parquet_zstd_bytes" -> stockBytes.toString)
       spark0.stop()
@@ -549,24 +586,48 @@ object Bench {
 
       // calm-launch gate: storms come in 20-40 min waves with calm
       // gaps — burn a bounded slice of budget waiting out an active
-      // storm rather than launching two warmups into it
+      // storm rather than launching two warmups (or a 300s pair) into
+      // it. "Calm" = low steal rate AND the host can actually deliver
+      // the high level's cores (see effectiveCores — the sandbox has
+      // sustained phases of ~2-core real capacity with zero steal).
+      val capacityFloor = 0.85 * highCpus
+      var lastEffCores = -1.0
+      var bestEffCores = -1.0
+      def sampleCapacity(): Double = {
+        val ec = effectiveCores(highCpus)
+        lastEffCores = ec
+        if (ec > bestEffCores) { bestEffCores = ec
+          setEnc("effective_cores_best" -> f"$ec%.1f") }
+        ec
+      }
       def awaitCalm(maxWaitSecs: Double): Boolean = {
         var waited = 0.0
-        var rate = stealRatePerSec()
-        while (rate > 25 && waited < maxWaitSecs) {
-          System.err.println(f"[bench] steal rate $rate%.0f jiffies/s — waiting for calm (${maxWaitSecs - waited}%.0fs left)")
-          Thread.sleep(8000)
-          waited += 10
-          rate = stealRatePerSec()
+        var ok = false
+        while (!ok && waited < maxWaitSecs) {
+          val rate = stealRatePerSec()
+          if (rate > 25) {
+            System.err.println(f"[bench] steal rate $rate%.0f jiffies/s — waiting for calm (${maxWaitSecs - waited}%.0fs left)")
+            Thread.sleep(8000); waited += 10
+          } else {
+            val ec = sampleCapacity()
+            if (ec < capacityFloor) {
+              System.err.println(f"[bench] host delivers $ec%.1f effective cores (< $capacityFloor%.1f) — waiting (${maxWaitSecs - waited}%.0fs left)")
+              Thread.sleep(8000); waited += 12
+            } else ok = true
+          }
         }
-        rate <= 25
+        ok
       }
       if (leftSecs > 600) awaitCalm(math.min(240, leftSecs * 0.2))
 
       // Interleaved paired measurement: both children stay alive; each
       // efficiency pair is (low pass, high pass) run back-to-back so both
       // levels see the same ambient conditions.
-      val warmBudget = math.max(120.0, math.min(900.0, leftSecs * 0.45))
+      // warmup capped at 500s: in degraded weather an uncapped warmup
+      // eats the pair budget for marginal cache benefit — a cancelled
+      // warmup costs only that the first pairs run slightly cold, which
+      // min-of-K and the near-best detector absorb
+      val warmBudget = math.max(120.0, math.min(500.0, leftSecs * 0.45))
       def fork(c: Int) = new ServeChild(c, inputPath, warmPath, tokensPerChunk, warmBudget)
       var low = fork(lowCpus)
       var high = fork(highCpus)
@@ -594,9 +655,10 @@ object Bench {
       // object always reflects everything measured so far
       var lowSecs = Vector.empty[Double]
       var highSecs = Vector.empty[Double]
-      // (secsLow, secsHigh, baseClean = steal+canary verdicts only; the
-      // near-best criterion is applied AFTER the loop against the final
-      // best pair, so an early stormy pair can't be grandfathered clean)
+      // (secsLow, secsHigh, baseClean = steal+canary+capacity verdicts;
+      // the near-best criterion is applied AFTER the loop against the
+      // final best pair, so an early stormy pair can't be grandfathered
+      // clean)
       var pairRecords = Vector.empty[(Double, Double, Boolean)]
       var attempts = 0
 
@@ -647,7 +709,10 @@ object Bench {
             val (pl, ph) = clean.minBy { case (a, b) => a + (highCpus.toDouble / lowCpus) * b }
             val paired = (pl / ph) / (highCpus.toDouble / lowCpus)
             setEnc("scaling_efficiency_paired" -> f"$paired%.3f")
-          }
+          } else
+            // a pair judged clean mid-run can be un-cleaned by the final
+            // near-best recompute — drop its stale paired estimate too
+            encFields.remove("scaling_efficiency_paired")
           // headline selection (the honesty fix): a clean same-ambient
           // pair is the trustworthy estimator; per-level minima can pair
           // a clean window at one level with storm-inflated other level
@@ -702,32 +767,42 @@ object Bench {
       // beats none); later pairs respect both the clean-run target and
       // the global deadline, and a pair is not STARTED unless the
       // remaining budget plausibly covers it
+      if (lastEffCores < 0) sampleCapacity() // ensure a pre-pair bracket exists
       while (lowAlive && highAlive && attempts < maxPairs && !cleanEnough &&
              (attempts == 0 || leftSecs > 0.8 * lastPairSecs)) {
         if (attempts > 0 && lastPairSecs > 0 && leftSecs > 3 * lastPairSecs)
-          awaitCalm(math.min(90, leftSecs - 1.5 * lastPairSecs))
+          awaitCalm(math.min(120, leftSecs - 1.5 * lastPairSecs))
         attempts += 1
+        val ecBefore = lastEffCores
         val tp0 = System.nanoTime()
         try {
           val rl = low.pass(passBudget(lowSecs.minOption))
           val rh = high.pass(passBudget(highSecs.minOption))
           lastPairSecs = (System.nanoTime() - tp0) / 1e9
           val cn = canarySecs()
+          val ecAfter = sampleCapacity()
           rl.foreach { case (s, _) => lowSecs :+= s }
           rh.foreach { case (s, _) => highSecs :+= s }
           (rl, rh) match {
             case (Some((sl, stl)), Some((sh, sth))) =>
-              // two base storm detectors: (a) /proc/stat steal <= 5% of
-              // each pass's vCPU allotment; (b) the single-thread canary
-              // bracketing the pair stays near its best — this host
-              // shows 3-10x throttling with NEAR-ZERO reported steal.
+              // three base storm detectors: (a) /proc/stat steal <= 5%
+              // of each pass's vCPU allotment; (b) the single-thread
+              // canary bracketing the pair stays near its best — this
+              // host shows 3-10x throttling with NEAR-ZERO reported
+              // steal; (d) the multi-thread canary bracketing the pair
+              // shows the host could DELIVER the high level's cores —
+              // in a sustained ~2-real-core phase an 8-thread pass
+              // times like a 2-thread one and (a)+(b) both pass while
+              // the pair's efficiency is physically meaningless.
               // Detector (c), near-best pair cost, is applied in
               // refreshDerived against the FINAL best (advice fix: the
               // in-loop version could never flag the first pair).
               val stealOk = stl <= 0.05 * lowCpus * sl && sth <= 0.05 * highCpus * sh
               val canaryOk = math.max(prevCanary, cn) <= math.max(0.9, 1.5 * bestCanary)
-              pairRecords :+= ((sl, sh, stealOk && canaryOk))
-              System.err.println(f"[bench] pair$attempts: low $sl%.2fs high $sh%.2fs canary $cn%.2fs${if (stealOk && canaryOk) "" else " (storm-polluted)"}")
+              val capacityOk = math.min(ecBefore, ecAfter) >= capacityFloor
+              val baseOk = stealOk && canaryOk && capacityOk
+              pairRecords :+= ((sl, sh, baseOk))
+              System.err.println(f"[bench] pair$attempts: low $sl%.2fs high $sh%.2fs canary $cn%.2fs cores $ecBefore%.1f->$ecAfter%.1f${if (baseOk) "" else " (storm-polluted)"}")
             case _ =>
               System.err.println(f"[bench] pair$attempts: a pass overran its budget and was cancelled")
           }
