@@ -723,6 +723,12 @@ object Bench {
             else encFields.get("scaling_efficiency_minima")
           headline.foreach(h => setEnc("scaling_efficiency" -> h,
             "efficiency_estimator" -> jstr(if (clean.nonEmpty) "paired" else "minima")))
+          // an efficiency near/above 1.0 is physically impossible for
+          // this job — the low minimum came from a slower window than
+          // the high minimum; flag rather than silently report
+          if (clean.isEmpty && headline.exists(_.toDouble > 1.02))
+            setEnc("minima_implausible" -> "true")
+          else encFields.remove("minima_implausible")
           for (p <- encFields.get("scaling_efficiency_paired").map(_.toDouble);
                m <- encFields.get("scaling_efficiency_minima").map(_.toDouble))
             setEnc("estimates_diverge" -> (math.abs(p - m) > 0.05).toString)
@@ -776,33 +782,48 @@ object Bench {
         val ecBefore = lastEffCores
         val tp0 = System.nanoTime()
         try {
+          // high-low-high SANDWICH: the ambient can shift in the minutes
+          // a pair spans (observed: a low pass in a slow phase paired
+          // with a high pass after recovery → "clean" efficiency 1.59,
+          // physically impossible). The two cheap high passes bracket
+          // the expensive low pass; if they disagree >15% the ambient
+          // moved mid-pair and the pair is rejected.
+          val rh1 = high.pass(passBudget(highSecs.minOption))
           val rl = low.pass(passBudget(lowSecs.minOption))
-          val rh = high.pass(passBudget(highSecs.minOption))
+          val rh2 = high.pass(passBudget(highSecs.minOption))
           lastPairSecs = (System.nanoTime() - tp0) / 1e9
           val cn = canarySecs()
           val ecAfter = sampleCapacity()
           rl.foreach { case (s, _) => lowSecs :+= s }
-          rh.foreach { case (s, _) => highSecs :+= s }
-          (rl, rh) match {
-            case (Some((sl, stl)), Some((sh, sth))) =>
-              // three base storm detectors: (a) /proc/stat steal <= 5%
-              // of each pass's vCPU allotment; (b) the single-thread
-              // canary bracketing the pair stays near its best — this
-              // host shows 3-10x throttling with NEAR-ZERO reported
-              // steal; (d) the multi-thread canary bracketing the pair
-              // shows the host could DELIVER the high level's cores —
-              // in a sustained ~2-real-core phase an 8-thread pass
-              // times like a 2-thread one and (a)+(b) both pass while
-              // the pair's efficiency is physically meaningless.
+          Seq(rh1, rh2).flatten.foreach { case (s, _) => highSecs :+= s }
+          (rh1, rl, rh2) match {
+            case (Some((h1, sth1)), Some((sl, stl)), Some((h2, sth2))) =>
+              val (sh, sth) = if (h1 <= h2) (h1, sth1) else (h2, sth2)
+              // base storm detectors, all must pass:
+              // (a) /proc/stat steal <= 5% of each pass's vCPU allotment
+              // (b) single-thread canary bracketing the pair near best —
+              //     the host shows 3-10x throttling with near-zero steal
+              // (d) multi-thread canary: the host could DELIVER the high
+              //     level's cores around this pair (sustained ~2-real-
+              //     core phases make 8-thread passes time like 2-thread
+              //     ones with (a)+(b) silent)
+              // (e) sandwich drift: the two high passes agree within 15%
+              // (f) physical consistency: 4x cores cannot be >4x faster
+              //     (sl <= 4*sh*1.05) and more cores are never slower
+              //     (sh <= sl*1.02) — violations mean one side of the
+              //     pair was polluted even if nothing else fired.
               // Detector (c), near-best pair cost, is applied in
               // refreshDerived against the FINAL best (advice fix: the
               // in-loop version could never flag the first pair).
+              val ratio = highCpus.toDouble / lowCpus
               val stealOk = stl <= 0.05 * lowCpus * sl && sth <= 0.05 * highCpus * sh
               val canaryOk = math.max(prevCanary, cn) <= math.max(0.9, 1.5 * bestCanary)
               val capacityOk = math.min(ecBefore, ecAfter) >= capacityFloor
-              val baseOk = stealOk && canaryOk && capacityOk
+              val driftOk = math.max(h1, h2) <= 1.15 * math.min(h1, h2)
+              val consistentOk = sl <= ratio * sh * 1.05 && sh <= sl * 1.02
+              val baseOk = stealOk && canaryOk && capacityOk && driftOk && consistentOk
               pairRecords :+= ((sl, sh, baseOk))
-              System.err.println(f"[bench] pair$attempts: low $sl%.2fs high $sh%.2fs canary $cn%.2fs cores $ecBefore%.1f->$ecAfter%.1f${if (baseOk) "" else " (storm-polluted)"}")
+              System.err.println(f"[bench] pair$attempts: high $h1%.2fs low $sl%.2fs high $h2%.2fs canary $cn%.2fs cores $ecBefore%.1f->$ecAfter%.1f${if (baseOk) "" else " (storm-polluted)"}")
             case _ =>
               System.err.println(f"[bench] pair$attempts: a pass overran its budget and was cancelled")
           }
