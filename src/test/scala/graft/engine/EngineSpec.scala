@@ -230,6 +230,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Decoder.decodeDocTokens(c, "no-such-doc").isEmpty)
   }
 
+  test("decodeDocTokens falls back correctly on non-addressable codecs") {
+    import spark.implicits._
+    // sorted-ascending tokens force the fordelta codec, which has no
+    // offset access — the point decode must still return exact rows
+    // via its full-decode fallback
+    val rows = (0 until 40).map { i =>
+      TokenRow(f"d$i%03d", Array.tabulate(300)(j => i * 300 + j), 300, "web")
+    }
+    val ds = spark.createDataset(rows)
+    val chunks = Encoder.encodeTable(ds, tokensPerChunk = 1 << 30).collect()
+    assert(chunks.length == 1)
+    val c = chunks.head
+    info(s"tokens codec under fallback test: ${c.codec_tokens}")
+    val target = rows(17)
+    val got = Decoder.decodeDocTokens(c, target.doc_id)
+    assert(got.isDefined && got.get.tokens.sameElements(target.tokens))
+    assert(got.get.source == "web" && got.get.n_tok == 300)
+  }
+
   test("adopted orphans keep the input_split they were encoded under") {
     val ds = Fixtures.tokenTable(spark, 300, seed = 41, medianLen = 64, maxLen = 512, partitions = 2)
     val out = tmpDir()
