@@ -124,4 +124,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(found, "no parquet bloom filter found on chunk_id")
   }
+
+  test("q37: embedding vectors do not ride the LSH band self-join") {
+    // candidate generation must shuffle only (vec_id, band, sig); the
+    // wide embedding column is re-attached by id AFTER the candidate
+    // distinct — at 10^9 vectors a band join carrying vectors shuffles
+    // every embedding once per band for nothing
+    val lp = SparkEntry.queries("q37_embed_neardup")(spark, sf)
+      .queryExecution.optimizedPlan
+    val bandJoins = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.condition.exists(_.references.exists(_.name == "band")) => j
+    }
+    assert(bandJoins.nonEmpty, "expected an equi self-join on (band, sig)")
+    bandJoins.foreach { j =>
+      val cols = (j.left.output ++ j.right.output).map(_.name)
+      val vectors = cols.filter(Set("embedding", "ea", "eb", "qe"))
+      assert(vectors.isEmpty, s"band join shuffles vector columns: $cols")
+    }
+  }
 }
