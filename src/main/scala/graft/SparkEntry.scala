@@ -416,6 +416,30 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // O6 admission control as a queryable report: per-source decode cost
+    // pre-flighted from chunk METADATA only (n_rows/n_tokens columns;
+    // the payload is pruned from the scan), with the admission verdict
+    // computed in exact integer math (admitted = at-or-below the
+    // all-sources mean token cost) — the reference's row-count/bytes
+    // quotas (reference: search/limits.go:45-74, checks
+    // search/materialize.go:939-957) surfaced as data. The refusal path
+    // itself (Admission.decodeAdmitted throwing ResourceExhausted before
+    // any payload decode) is exercised in QuotaSpec.
+    "q39_admission_report" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(lit(1))
+      Encoder.encodeTable(tokenTable(s, dir), tokensPerChunk = 16384)
+        .toDF()
+        .groupBy(col("part_source"))
+        .agg(sum(col("n_rows")).cast("long").as("planned_rows"),
+          sum(col("n_tokens")).cast("long").as("planned_tokens"))
+        .withColumn("admitted",
+          col("planned_tokens") * count(lit(1)).over(w) <= sum(col("planned_tokens")).over(w))
+        .select(col("part_source").as("source"),
+          col("planned_rows"), col("planned_tokens"), col("admitted"))
+        .orderBy(col("source"))
+    }),
+
     // ---- rows-only entries (not ANSI-SQL-expressible identically) ----
 
     // ANN: brute-force cosine top-5 for 3 probe vectors (float math —
@@ -804,6 +828,14 @@ object SparkEntry {
     "q27_decode_meta_only" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS tok_sum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q39_admission_report" ->
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS planned_rows,
+        |  CAST(sum(length(text)) AS BIGINT) AS planned_tokens,
+        |  sum(length(text)) * (SELECT count(DISTINCT source) FROM documents)
+        |    <= (SELECT sum(length(text)) FROM documents) AS admitted
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q28_distinct_from_metadata" ->

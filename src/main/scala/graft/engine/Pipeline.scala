@@ -129,6 +129,27 @@ object Pipeline {
     Decoder.decode(pruned, verifyChecksum)
   }
 
+  /** [[readTokens]] behind admission control: the decode's cost (rows,
+    * tokens, encoded payload bytes) is pre-flighted from chunk metadata
+    * and reserved against `budgets` BEFORE any payload is read — a
+    * refused query costs one footer-grade metadata job, never a
+    * full-cluster decode (the reference's quota checks before page
+    * materialization, reference: search/materialize.go:939-957).
+    */
+  def readTokensAdmitted(
+      spark: SparkSession,
+      outDir: String,
+      budgets: Admission.Budgets,
+      sources: Seq[String] = Nil,
+      verifyChecksum: Boolean = true
+  ): Dataset[TokenRow] = {
+    val chunks = readChunks(spark, outDir)
+    val pruned =
+      if (sources.isEmpty) chunks
+      else chunks.filter(col("part_source").isin(sources: _*))
+    Admission.decodeAdmitted(pruned, budgets, verifyChecksum)
+  }
+
   /** Point-lookup decode: only chunks whose [min_doc_id, max_doc_id]
     * covers the key are decoded — the reference's precise row-range
     * pruning from page min/max statistics re-expressed at chunk grain
