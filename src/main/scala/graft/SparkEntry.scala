@@ -216,12 +216,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // MinHash signatures over word 3-shingles, 4 hash families (md5
-    // salted) — deterministic and oracle-checkable. Docs with < 3 words
-    // must yield an EMPTY shingle set: unguarded `sequence(1, size-2)`
-    // is descending for size<3 and `element_at(words, 0)` then throws
-    // under Spark 4 ANSI mode, whereas the DuckDB oracle's
-    // `range(1, len-1)` is simply empty — the CASE mirrors that.
+    // MinHash signatures over word 3-shingles, 4 hash families —
+    // deterministic and oracle-checkable. ONE md5 per shingle, sliced
+    // into four disjoint 32-bit hex windows (the standard k-bands-from-
+    // one-hash minhash construction): the per-band salted-md5 version
+    // cost 4x the digest work, and md5 dominates this whole query
+    // family's CPU. Docs with < 3 words must yield an EMPTY shingle
+    // set: unguarded `sequence(1, size-2)` is descending for size<3 and
+    // `element_at(words, 0)` then throws under Spark 4 ANSI mode,
+    // whereas the DuckDB oracle's `range(1, len-1)` is simply empty —
+    // the CASE mirrors that.
     "q18_minhash" -> ((s, dir) => {
       t(s, dir, "documents")
         .withColumn("words", split(col("text"), " "))
@@ -229,12 +233,13 @@ object SparkEntry {
           "CASE WHEN size(words) >= 3 THEN transform(sequence(1, size(words)-2), i -> " +
             "concat_ws(' ', element_at(words,i), element_at(words,i+1), element_at(words,i+2))) " +
             "ELSE CAST(array() AS array<string>) END"))
+        .withColumn("dg", expr("transform(shingles, x -> md5(x))"))
         .select(
           col("doc_id"),
-          expr("array_min(transform(shingles, x -> md5(concat(x,'#0'))))").as("mh0"),
-          expr("array_min(transform(shingles, x -> md5(concat(x,'#1'))))").as("mh1"),
-          expr("array_min(transform(shingles, x -> md5(concat(x,'#2'))))").as("mh2"),
-          expr("array_min(transform(shingles, x -> md5(concat(x,'#3'))))").as("mh3"))
+          expr("array_min(transform(dg, d -> substring(d, 1, 8)))").as("mh0"),
+          expr("array_min(transform(dg, d -> substring(d, 9, 8)))").as("mh1"),
+          expr("array_min(transform(dg, d -> substring(d, 17, 8)))").as("mh2"),
+          expr("array_min(transform(dg, d -> substring(d, 25, 8)))").as("mh3"))
         .orderBy(col("doc_id"))
     }),
 
@@ -338,10 +343,12 @@ object SparkEntry {
             "concat_ws(' ', element_at(words,i), element_at(words,i+1), element_at(words,i+2)))) " +
             "ELSE CAST(array() AS array<string>) END"))
         .select(col("doc_id"), col("sh"))
-      val mh = d.select(col("doc_id"),
-        posexplode(array((0 to 3).map(b =>
-          expr(s"array_min(transform(sh, x -> md5(concat(x,'#$b'))))")): _*))
-          .as(Seq("band", "bucket")))
+      // one md5 per shingle, four 32-bit band windows (see q18)
+      val mh = d.withColumn("dg", expr("transform(sh, x -> md5(x))"))
+        .select(col("doc_id"),
+          posexplode(array((0 to 3).map(b =>
+            expr(s"array_min(transform(dg, d -> substring(d, ${1 + 8 * b}, 8)))")): _*))
+            .as(Seq("band", "bucket")))
         .filter(col("bucket").isNotNull)
       val cand = mh.select(col("band"), col("bucket"), col("doc_id").as("a"))
         .join(mh.select(col("band"), col("bucket"), col("doc_id").as("b")),
@@ -728,10 +735,10 @@ object SparkEntry {
 
     "q18_minhash" ->
       """SELECT doc_id,
-        |  list_min(list_transform(sh, x -> md5(x || '#0'))) AS mh0,
-        |  list_min(list_transform(sh, x -> md5(x || '#1'))) AS mh1,
-        |  list_min(list_transform(sh, x -> md5(x || '#2'))) AS mh2,
-        |  list_min(list_transform(sh, x -> md5(x || '#3'))) AS mh3
+        |  list_min(list_transform(sh, x -> substr(md5(x), 1, 8))) AS mh0,
+        |  list_min(list_transform(sh, x -> substr(md5(x), 9, 8))) AS mh1,
+        |  list_min(list_transform(sh, x -> substr(md5(x), 17, 8))) AS mh2,
+        |  list_min(list_transform(sh, x -> substr(md5(x), 25, 8))) AS mh3
         |FROM (
         |  SELECT doc_id,
         |    list_transform(range(1, len(w) - 1),
@@ -742,10 +749,10 @@ object SparkEntry {
     "q19_lsh_buckets" ->
       """WITH mh AS (
         |  SELECT doc_id,
-        |    list_min(list_transform(sh, x -> md5(x || '#0'))) AS mh0,
-        |    list_min(list_transform(sh, x -> md5(x || '#1'))) AS mh1,
-        |    list_min(list_transform(sh, x -> md5(x || '#2'))) AS mh2,
-        |    list_min(list_transform(sh, x -> md5(x || '#3'))) AS mh3
+        |    list_min(list_transform(sh, x -> substr(md5(x), 1, 8))) AS mh0,
+        |    list_min(list_transform(sh, x -> substr(md5(x), 9, 8))) AS mh1,
+        |    list_min(list_transform(sh, x -> substr(md5(x), 17, 8))) AS mh2,
+        |    list_min(list_transform(sh, x -> substr(md5(x), 25, 8))) AS mh3
         |  FROM (
         |    SELECT doc_id,
         |      list_transform(range(1, len(w) - 1),
@@ -797,10 +804,10 @@ object SparkEntry {
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
         |sig AS (
         |  SELECT doc_id,
-        |    list_min(list_transform(sh, x -> md5(x || '#0'))) AS mh0,
-        |    list_min(list_transform(sh, x -> md5(x || '#1'))) AS mh1,
-        |    list_min(list_transform(sh, x -> md5(x || '#2'))) AS mh2,
-        |    list_min(list_transform(sh, x -> md5(x || '#3'))) AS mh3
+        |    list_min(list_transform(sh, x -> substr(md5(x), 1, 8))) AS mh0,
+        |    list_min(list_transform(sh, x -> substr(md5(x), 9, 8))) AS mh1,
+        |    list_min(list_transform(sh, x -> substr(md5(x), 17, 8))) AS mh2,
+        |    list_min(list_transform(sh, x -> substr(md5(x), 25, 8))) AS mh3
         |  FROM d),
         |bands AS (
         |  SELECT 0 AS band, mh0 AS bucket, doc_id FROM sig
