@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.engine.{Chunker, Pipeline, TokenRow, Verifier}
+import graft.engine.{Admission, Chunker, Pipeline, Quota, ResourceExhausted, TokenRow, Verifier}
 
 /** spark-submit entry point for the production encode job.
   *
@@ -13,6 +13,11 @@ import graft.engine.{Chunker, Pipeline, TokenRow, Verifier}
   * // consumer read paths over an existing encoded table:
   * spark-submit ... mode=lookup out=<output-dir> doc=<doc_id>  // stat-pruned point decode
   * spark-submit ... mode=index  out=<output-dir>               // token-payload-free doc index
+  * spark-submit ... mode=read   out=<output-dir> \
+  *   [sources=src1,src2] [maxRows=N] [maxTokens=N] [maxBytes=N]
+  *   // admission-controlled bulk decode: cost pre-flighted from chunk
+  *   // metadata; an over-budget read is REFUSED (exit 3, refusal JSON)
+  *   // before any payload is decoded. 0 = unlimited.
   * }}}
   *
   * Reads the token table (doc_id, tokens, n_tok, source), runs the
@@ -37,6 +42,7 @@ object EncodeJob {
     opts.getOrElse("mode", "encode") match {
       case "lookup" => return readMode(opts, lookup = true)
       case "index" => return readMode(opts, lookup = false)
+      case "read" => return readBulkMode(opts)
       case "encode" => ()
       case m => throw new IllegalArgumentException(s"unknown mode=$m")
     }
@@ -74,6 +80,43 @@ object EncodeJob {
         s""""rawBytes":${report.rawBytes},"encodedBytes":${report.encodedBytes},""" +
         f""""encodeSecs":$encodeSecs%.2f$verifyJson}""")
     spark.stop()
+  }
+
+  /** Admission-controlled bulk decode (mode=read): the decode's cost is
+    * pre-flighted from chunk metadata and reserved against the given
+    * budgets; an over-budget read prints a refusal JSON and exits 3
+    * WITHOUT decoding (or even reading) any payload — the analog of the
+    * reference's quota refusal before page materialization
+    * (reference: search/materialize.go:939-957). 0 = unlimited.
+    */
+  private def readBulkMode(opts: Map[String, String]): Unit = {
+    val out = opts("out")
+    val sources = opts.get("sources")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val budgets = Admission.Budgets(
+      rows = Quota(opts.getOrElse("maxRows", "0").toLong),
+      tokens = Quota(opts.getOrElse("maxTokens", "0").toLong),
+      encodedBytes = Quota(opts.getOrElse("maxBytes", "0").toLong))
+    val spark = SparkSession.builder()
+      .appName("graft-read")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      import org.apache.spark.sql.functions.{count, lit, sum}
+      val stats = Pipeline.readTokensAdmitted(spark, out, budgets, sources)
+        .toDF().agg(count(lit(1)), sum("n_tok")).first()
+      val toks = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+      println(s"""{"admitted":true,"read_rows":${stats.getLong(0)},""" +
+        s""""read_tokens":$toks,"out":"$out"}""")
+      spark.stop()
+    } catch {
+      case e: ResourceExhausted =>
+        println(s"""{"admitted":false,"resource":"${e.resource}",""" +
+          s""""limit":${e.limit},"requested":${e.requested},"out":"$out"}""")
+        spark.stop()
+        sys.exit(3)
+    }
   }
 
   /** Consumer read paths: stat-pruned point lookup / doc index. */
