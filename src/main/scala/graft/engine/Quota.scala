@@ -31,11 +31,15 @@ final class Quota(val limit: Long) extends Serializable {
     * leave the budget untouched for other queries, as in the reference).
     */
   def reserve(resource: String, n: Long): Unit = {
+    require(n >= 0, s"negative reservation: $n")
     if (limit <= 0) return
     var admitted = false
     while (!admitted) {
       val u = usedCtr.get()
-      if (u + n > limit) throw ResourceExhausted(resource, limit, n, u)
+      // overflow-proof form of u + n > limit: u <= limit always holds,
+      // so limit - u never underflows, while u + n can wrap negative
+      // for a Long.MaxValue-grade request and falsely admit it
+      if (n > limit - u) throw ResourceExhausted(resource, limit, n, u)
       admitted = usedCtr.compareAndSet(u, u + n)
     }
   }

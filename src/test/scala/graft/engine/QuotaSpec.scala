@@ -40,6 +40,15 @@ class QuotaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.used == 100)
   }
 
+  test("quota: a Long.MaxValue-grade request cannot overflow past the limit") {
+    val q = Quota(100)
+    q.reserve("rows", 50)
+    // u + n wraps negative here; the overflow-proof check must refuse
+    val e = intercept[ResourceExhausted] { q.reserve("rows", Long.MaxValue) }
+    assert(e.used == 50 && q.used == 50)
+    intercept[IllegalArgumentException] { q.reserve("rows", -1) }
+  }
+
   test("quota: unlimited never refuses") {
     val q = Quota.unlimited
     q.reserve("rows", Long.MaxValue / 2)
