@@ -74,6 +74,19 @@ object Admission {
       encodedBytes: Quota = Quota.unlimited
   )
 
+  /** The pre-flight cost aggregate: (row_count, token_count,
+    * encoded_bytes) of decoding `chunks`. Exposed so plan tests can pin
+    * the property the whole design rests on: over an at-rest chunks
+    * table this plan's parquet scan reads ONLY the three small metadata
+    * columns — the payload never leaves parquet for a refused query.
+    */
+  def preflightStats(chunks: Dataset[EncodedChunk]): org.apache.spark.sql.DataFrame =
+    chunks.toDF()
+      .agg(
+        coalesce(sum("n_rows"), lit(0L)).cast("long").as("row_count"),
+        coalesce(sum("n_tokens"), lit(0L)).cast("long").as("token_count"),
+        coalesce(sum("encoded_bytes"), lit(0L)).cast("long").as("encoded_bytes"))
+
   /** Pre-flight the cost of decoding `chunks` against `budgets`; returns
     * the decode Dataset only when every budget admits the reservation.
     * The pre-flight aggregate reads ONLY small metadata columns
@@ -85,12 +98,7 @@ object Admission {
       budgets: Budgets,
       verifyChecksum: Boolean = true
   ): Dataset[TokenRow] = {
-    val stats = chunks.toDF()
-      .agg(
-        coalesce(sum("n_rows"), lit(0L)).cast("long"),
-        coalesce(sum("n_tokens"), lit(0L)).cast("long"),
-        coalesce(sum("encoded_bytes"), lit(0L)).cast("long"))
-      .first()
+    val stats = preflightStats(chunks).first()
     budgets.rows.reserve("row_count", stats.getLong(0))
     budgets.tokens.reserve("token_count", stats.getLong(1))
     budgets.encodedBytes.reserve("encoded_bytes", stats.getLong(2))

@@ -90,6 +90,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"metadata read pays token payload I/O: $read")
   }
 
+  test("admission pre-flight: parquet scan reads only cost metadata") {
+    // the property admission control rests on at 100 TB: refusing an
+    // over-budget decode must cost a metadata-column aggregate, never
+    // payload I/O — the pre-flight's ReadSchema excludes every _enc col
+    val p = graft.engine.Admission
+      .preflightStats(graft.engine.Pipeline.readChunks(spark, chunksDir))
+      .queryExecution.executedPlan.toString()
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("n_tokens"), s"expected metadata cols in scan: $read")
+    assert(!read.contains("tokens_enc") && !read.contains("doc_ids_enc"),
+      s"admission pre-flight pays payload I/O: $read")
+  }
+
   test("point-lookup doc_id bounds are pushed to the parquet scan") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.parquet(graft.engine.Pipeline.chunksPath(chunksDir))
