@@ -14,10 +14,12 @@ import graft.engine.{Admission, Chunker, Pipeline, Quota, ResourceExhausted, Tok
   * spark-submit ... mode=lookup out=<output-dir> doc=<doc_id>  // stat-pruned point decode
   * spark-submit ... mode=index  out=<output-dir>               // token-payload-free doc index
   * spark-submit ... mode=read   out=<output-dir> \
-  *   [sources=src1,src2] [maxRows=N] [maxTokens=N] [maxBytes=N]
+  *   [sources=src1,src2] [maxRows=N] [maxTokens=N] [maxBytes=N] [sink=<path>]
   *   // admission-controlled bulk decode: cost pre-flighted from chunk
   *   // metadata; an over-budget read is REFUSED (exit 3, refusal JSON)
-  *   // before any payload is decoded. 0 = unlimited.
+  *   // before any payload is decoded. 0 = unlimited. With sink= the
+  *   // admitted rows are decoded and written there; without it the
+  *   // metadata-grade admission report is the output (no payload I/O).
   * }}}
   *
   * Reads the token table (doc_id, tokens, n_tok, source), runs the
@@ -82,12 +84,28 @@ object EncodeJob {
     spark.stop()
   }
 
+  /** JSON string escape for interpolated values (paths can carry quotes
+    * or backslashes; the exit-3 refusal line is machine-consumed).
+    */
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   /** Admission-controlled bulk decode (mode=read): the decode's cost is
     * pre-flighted from chunk metadata and reserved against the given
     * budgets; an over-budget read prints a refusal JSON and exits 3
     * WITHOUT decoding (or even reading) any payload — the analog of the
     * reference's quota refusal before page materialization
     * (reference: search/materialize.go:939-957). 0 = unlimited.
+    *
+    * With sink=<path> an admitted read decodes (checksums verified) and
+    * writes the token rows there; without a sink the report alone is the
+    * product — admitted cost from the metadata pre-flight, no payload
+    * decoded to re-derive numbers the pre-flight already had.
     */
   private def readBulkMode(opts: Map[String, String]): Unit = {
     val out = opts("out")
@@ -103,17 +121,25 @@ object EncodeJob {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      import org.apache.spark.sql.functions.{count, lit, sum}
-      val stats = Pipeline.readTokensAdmitted(spark, out, budgets, sources)
-        .toDF().agg(count(lit(1)), sum("n_tok")).first()
-      val toks = if (stats.isNullAt(1)) 0L else stats.getLong(1)
-      println(s"""{"admitted":true,"read_rows":${stats.getLong(0)},""" +
-        s""""read_tokens":$toks,"out":"$out"}""")
+      val admitted = Pipeline.readTokensAdmitted(spark, out, budgets, sources)
+      // the admitted cost, from the SAME pre-flight grain the reserve
+      // used (the reserve above already ran the aggregate; re-running it
+      // here is a second metadata-only job, still no payload I/O)
+      val chunks = Pipeline.readChunks(spark, out)
+      val pruned = if (sources.isEmpty) chunks
+        else chunks.filter(org.apache.spark.sql.functions.col("part_source").isin(sources: _*))
+      val stats = Admission.preflightStats(pruned).first()
+      opts.get("sink").foreach { sink =>
+        admitted.write.mode("overwrite").parquet(sink)
+      }
+      println(s"""{"admitted":true,"rows":${stats.getLong(0)},""" +
+        s""""tokens":${stats.getLong(1)},"encoded_bytes":${stats.getLong(2)},""" +
+        s""""sink":${opts.get("sink").map(jstr).getOrElse("null")},"out":${jstr(out)}}""")
       spark.stop()
     } catch {
       case e: ResourceExhausted =>
-        println(s"""{"admitted":false,"resource":"${e.resource}",""" +
-          s""""limit":${e.limit},"requested":${e.requested},"out":"$out"}""")
+        println(s"""{"admitted":false,"resource":${jstr(e.resource)},""" +
+          s""""limit":${e.limit},"requested":${e.requested},"out":${jstr(out)}}""")
         spark.stop()
         sys.exit(3)
     }

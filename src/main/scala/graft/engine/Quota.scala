@@ -43,6 +43,17 @@ final class Quota(val limit: Long) extends Serializable {
       admitted = usedCtr.compareAndSet(u, u + n)
     }
   }
+
+  /** Return a reservation to the budget — used to roll back the earlier
+    * legs of a multi-quota admission when a later leg is refused, so a
+    * refused query leaves EVERY budget untouched (see
+    * [[Admission.decodeAdmitted]]).
+    */
+  def release(n: Long): Unit = {
+    require(n >= 0, s"negative release: $n")
+    if (limit <= 0) return
+    usedCtr.addAndGet(-n)
+  }
 }
 
 object Quota {
@@ -99,9 +110,22 @@ object Admission {
       verifyChecksum: Boolean = true
   ): Dataset[TokenRow] = {
     val stats = preflightStats(chunks).first()
+    // all-or-nothing across the three budgets: a refusal on a later leg
+    // rolls back the earlier legs, so a refused query leaves every
+    // shared budget exactly as it found it (the per-Quota promise —
+    // failed admissions don't debit — must hold for the composite too)
     budgets.rows.reserve("row_count", stats.getLong(0))
-    budgets.tokens.reserve("token_count", stats.getLong(1))
-    budgets.encodedBytes.reserve("encoded_bytes", stats.getLong(2))
+    try {
+      budgets.tokens.reserve("token_count", stats.getLong(1))
+      try budgets.encodedBytes.reserve("encoded_bytes", stats.getLong(2))
+      catch {
+        case e: ResourceExhausted =>
+          budgets.tokens.release(stats.getLong(1)); throw e
+      }
+    } catch {
+      case e: ResourceExhausted if e.resource != "row_count" =>
+        budgets.rows.release(stats.getLong(0)); throw e
+    }
     Decoder.decode(chunks, verifyChecksum)
   }
 }

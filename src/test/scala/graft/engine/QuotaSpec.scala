@@ -80,9 +80,13 @@ class QuotaSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ds = Fixtures.tokenTable(spark, 300, seed = 7, medianLen = 64, maxLen = 512, partitions = 2)
     Pipeline.run(spark, ds, out, tokensPerChunk = 16 * 1024, waves = 1)
 
-    // CORRUPT every payload on disk: if admission touched (decoded) the
-    // payload, the checksum kernel would throw ChecksumMismatch instead
-    // of the quota refusal we assert — proof the refusal is metadata-only
+    // CORRUPT every payload on disk: if admission DECODED the payload,
+    // the checksum kernel would throw ChecksumMismatch instead of the
+    // quota refusal we assert — proof the refusal never runs the decode
+    // kernel. (The stronger I/O claim — the pre-flight's at-rest scan
+    // reads no payload COLUMNS — is pinned by PlanSpec's ReadSchema
+    // test; this Dataset is in-memory-mapped, so column pruning does
+    // not apply here.)
     val corrupted = Pipeline.readChunks(spark, out)
       .map(c => c.copy(tokens_enc = Array[Byte](1, 2, 3)))
     val tight = Admission.Budgets(tokens = Quota(10)) // corpus is way bigger
@@ -90,6 +94,26 @@ class QuotaSpec extends AnyFunSuite with BeforeAndAfterAll {
       Admission.decodeAdmitted(corrupted, tight).count()
     }
     assert(e.resource == "token_count" && e.limit == 10)
+  }
+
+  test("admission: a refusal on one leg rolls back the other budgets") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-quota").toString
+    val ds = Fixtures.tokenTable(spark, 100, seed = 12, medianLen = 64, maxLen = 512, partitions = 2)
+    Pipeline.run(spark, ds, out, tokensPerChunk = 1 << 20, waves = 1)
+
+    // rows budget admits, tokens budget refuses: the refused query must
+    // leave BOTH budgets untouched, or retries drain the rows budget and
+    // wrongly starve later queries sharing it
+    val budgets = Admission.Budgets(rows = Quota(1000), tokens = Quota(10))
+    intercept[ResourceExhausted] {
+      Pipeline.readTokensAdmitted(spark, out, budgets).count()
+    }
+    assert(budgets.rows.used == 0, s"rows budget leaked: ${budgets.rows.used}")
+    assert(budgets.tokens.used == 0)
+    // the shared rows budget still admits a query that fits
+    val ok = Admission.Budgets(rows = budgets.rows)
+    assert(Pipeline.readTokensAdmitted(spark, out, ok).count() == 100)
   }
 
   test("admission: a roomy budget decodes identically to the unguarded path") {
