@@ -447,6 +447,73 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ANN exact-oracle variant of q30: embeddings quantized to integer
+    // milli-units (round(x*1000) — exact, engine-portable longs), probe
+    // top-5 ranked by INTEGER dot product with vec_id tiebreak. Every
+    // value is a long, so the ranking (and the DuckDB oracle hash) is
+    // deterministic — this gives the similarity-search path a value-
+    // exact correctness gate that q30's float cosine cannot have.
+    // Scale shape is identical to q30: probes broadcast, corpus never
+    // shuffled, one codegen'd map + per-probe top-k.
+    "q40_ann_dot_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val quant = expr("transform(embedding, x -> bigint(round(double(x) * 1000D)))")
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), quant.as("ce"))
+      val probes = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("ce").as("qe"))
+      val dot = expr("aggregate(zip_with(ce, qe, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+      val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
+      e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dot", dot)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vec_id"), col("dot"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Embedding near-dup with a value-exact oracle: deterministic
+    // sign-bit LSH (band b = the 8 sign bits of quantized coords
+    // 8b+1..8b+8 — hyperplane LSH with axis-aligned planes) generates
+    // candidates via a band self-join that ships ONLY (vec_id, band,
+    // sig); the verify stage re-attaches vectors by id and keeps pairs
+    // with integer cosine >= 0.40 via cross-multiplication:
+    // dot > 0 && 25*dot^2 >= 4*na2*nb2 — no sqrt, no floats, so the
+    // whole pipeline (candidates AND verdicts) hash-matches DuckDB.
+    // Widths are FIXED (4 bands x 8 bits) for oracle determinism; the
+    // corpus-size-adaptive widths (Lsh.bitsPerBandFor) remain the scale
+    // path and are exercised by q37. Long bounds: |quantized| <= ~526,
+    // dim 64 -> dot <= 1.8e7, 25*dot^2 <= 7.8e15 << 2^63.
+    "q41_embed_neardup_exact" -> ((s, dir) => {
+      val quant = expr("transform(embedding, x -> bigint(round(double(x) * 1000D)))")
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), quant.as("ce"))
+      val sigs = expr(
+        """transform(sequence(0, 3), b ->
+          |  aggregate(sequence(1, 8), 0L, (acc, i) ->
+          |    acc + IF(element_at(ce, int(b * 8 + i)) > 0L,
+          |             shiftleft(1L, int(i - 1)), 0L)))""".stripMargin)
+      val banded = base.select(col("vec_id"), posexplode(sigs).as(Seq("band", "sig")))
+      val cand = banded.select(col("band"), col("sig"), col("vec_id").as("a"))
+        .join(banded.select(col("band"), col("sig"), col("vec_id").as("b")),
+          Seq("band", "sig"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"))
+        .dropDuplicates("a", "b")
+      val n2 = expr("aggregate(ce, 0L, (acc, x) -> acc + x * x)")
+      val vecs = base.select(col("vec_id"), col("ce"), n2.as("n2"))
+      val dot = expr("aggregate(zip_with(cea, ceb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+      cand
+        .join(vecs.select(col("vec_id").as("a"), col("ce").as("cea"), col("n2").as("na2")), Seq("a"))
+        .join(vecs.select(col("vec_id").as("b"), col("ce").as("ceb"), col("n2").as("nb2")), Seq("b"))
+        .withColumn("dot", dot)
+        .filter(col("dot") > 0 &&
+          lit(25) * col("dot") * col("dot") >= lit(4) * col("na2") * col("nb2"))
+        .select(col("a"), col("b"), col("dot"), col("na2"), col("nb2"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // ---- rows-only entries (not ANSI-SQL-expressible identically) ----
 
     // ANN: brute-force cosine top-5 for 3 probe vectors (float math —
@@ -844,6 +911,58 @@ object SparkEntry {
         |  sum(length(text)) * (SELECT count(DISTINCT source) FROM documents)
         |    <= (SELECT sum(length(text)) FROM documents) AS admitted
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // CAST(x AS DOUBLE) BEFORE the *1000: DuckDB would otherwise compute
+    // float32 * int in float32 while Spark widens float -> double, and
+    // the two can round differently at the .5 boundary
+    "q40_ann_dot_topk" ->
+      """WITH cv AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ce
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id AS qid, ce AS qe FROM cv WHERE vec_id < 3),
+        |pairs AS (
+        |  SELECT qv.qid, cv.vec_id,
+        |    CAST(list_sum(list_transform(list_zip(cv.ce, qv.qe),
+        |      p -> p[1] * p[2])) AS BIGINT) AS dot
+        |  FROM cv, qv WHERE cv.vec_id <> qv.qid)
+        |SELECT qid, rank, vec_id, dot FROM (
+        |  SELECT qid, vec_id, dot,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
+        |      AS BIGINT) AS rank
+        |  FROM pairs) WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
+    "q41_embed_neardup_exact" ->
+      """WITH cv AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ce
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, ce,
+        |    CAST(list_sum(list_transform(ce, x -> x * x)) AS BIGINT) AS n2
+        |  FROM cv),
+        |banded AS (
+        |  SELECT vec_id, b.band,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      i -> CASE WHEN ce[b.band * 8 + i] > 0 THEN 1 << (i - 1)
+        |                ELSE 0 END)) AS BIGINT) AS sig
+        |  FROM cv, (SELECT unnest(range(0, 4)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |  FROM banded x JOIN banded y
+        |    ON x.band = y.band AND x.sig = y.sig AND x.vec_id < y.vec_id),
+        |scored AS (
+        |  SELECT c.a, c.b,
+        |    CAST(list_sum(list_transform(list_zip(va.ce, vb.ce),
+        |      p -> p[1] * p[2])) AS BIGINT) AS dot,
+        |    va.n2 AS na2, vb.n2 AS nb2
+        |  FROM cand c JOIN n va ON c.a = va.vec_id JOIN n vb ON c.b = vb.vec_id)
+        |SELECT a, b, dot, na2, nb2 FROM scored
+        |WHERE dot > 0 AND 25 * dot * dot >= 4 * na2 * nb2
+        |ORDER BY a, b""".stripMargin,
 
     "q28_distinct_from_metadata" ->
       """SELECT source,

@@ -156,4 +156,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(vectors.isEmpty, s"band join shuffles vector columns: $cols")
     }
   }
+
+  test("q40 exact-ANN: probe side broadcast, integer-only output") {
+    val df = SparkEntry.queries("q40_ann_dot_topk")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "expected the 3-probe side to broadcast")
+    // every output column is LongType — the property the oracle hash
+    // match depends on (no float drift anywhere in the result)
+    assert(df.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType), df.schema.treeString)
+  }
+
+  test("q41 exact near-dup: quantized vectors do not ride the band join") {
+    val lp = SparkEntry.queries("q41_embed_neardup_exact")(spark, sf)
+      .queryExecution.optimizedPlan
+    val bandJoins = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.condition.exists(_.references.exists(_.name == "band")) => j
+    }
+    assert(bandJoins.nonEmpty, "expected an equi self-join on (band, sig)")
+    bandJoins.foreach { j =>
+      val cols = (j.left.output ++ j.right.output).map(_.name)
+      val vectors = cols.filter(Set("embedding", "ce", "cea", "ceb"))
+      assert(vectors.isEmpty, s"band join shuffles vector columns: $cols")
+    }
+  }
 }
