@@ -285,8 +285,9 @@ object IntCodec {
     * dict) jump straight to the slice's bits/bytes — values outside the
     * slice are never read (see the corruption-outside-slice unit test).
     * RLE walks its runs (O(runs) work, still O(len) materialized).
-    * ForDelta needs the running prefix and falls back to a full decode
-    * plus copy.
+    * ForDelta needs the running prefix, so it decodes deltas from the
+    * front — but only up to the slice's END: O(start+len) work, and
+    * bytes after the slice's last delta are never read (early exit).
     */
   def decodeRange(buf: Array[Byte], start: Int, len: Int): Array[Int] = {
     val r = new Reader(buf, 0)
@@ -360,9 +361,23 @@ object IntCodec {
           }
           seen = runEnd
         }
-      case 3 => // fordelta: prefix-dependent — full decode fallback
-        val full = decode(buf)
-        System.arraycopy(full, start, dst, 0, len)
+      case 3 => // fordelta: prefix-dependent — decode deltas [1, end)
+        // only. The prefix before `start` must be summed regardless,
+        // but nothing past the slice's end is unpacked or even read.
+        var prev = unzigzag(r.readUvarint()) // value 0
+        if (start == 0) dst(0) = prev
+        val end = start + len
+        if (n > 1 && end > 1) {
+          val width = r.readByte() & 0xff
+          val deltas = new Array[Int](end - 1)
+          unpackBitsRange(r.buf, r.pos, width, 0, end - 1, deltas)
+          var i = 1
+          while (i < end) {
+            prev += unzigzag(deltas(i - 1))
+            if (i >= start) dst(i - start) = prev
+            i += 1
+          }
+        }
       case other => throw new IllegalArgumentException(s"unknown codec id $other")
     }
     dst

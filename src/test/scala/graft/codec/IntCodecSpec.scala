@@ -224,4 +224,33 @@ class IntCodecSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(IntCodec.decodeRange(encS, start, len), wantS),
       "forsplit decodeRange read bytes outside the slice")
   }
+
+  test("fordelta decodeRange never reads past the slice end (early exit)") {
+    // sorted-ish data so ForDelta is a sane encoding; deltas for values
+    // 1..n-1 are bit-packed after the header. The prefix up to `end`
+    // must be decoded (prefix-dependence), but every byte strictly
+    // after the slice's last delta bit may be corrupted freely.
+    val data = Array.tabulate(2048)(i => i * 5 + (i % 3))
+    val enc = IntCodec.ForDelta.encode(data)
+    val want = IntCodec.decode(enc)
+    val start = 100
+    val len = 50
+    val end = start + len
+    // parse the header to locate the delta payload and its width
+    val r = new BitIO.Reader(enc, 0)
+    assert((r.readByte() & 0xff) == 3, "expected fordelta container")
+    val n = r.readUvarint()
+    r.readUvarint() // zigzag(first value)
+    val width = r.readByte() & 0xff
+    val deltaBase = r.pos
+    // bytes holding delta bits [0, (end-1)*width) are live; everything
+    // after (including slack up to the buffer end) gets clobbered
+    val liveBytes = ((end - 1).toLong * width + 7) / 8
+    for (p <- (deltaBase + liveBytes.toInt) until enc.length)
+      enc(p) = 0x5a.toByte
+    assert(n == data.length)
+    assert(java.util.Arrays.equals(IntCodec.decodeRange(enc, start, len),
+      java.util.Arrays.copyOfRange(want, start, end)),
+      "fordelta decodeRange read bytes past the slice's last delta")
+  }
 }
