@@ -514,6 +514,86 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // ANN scale path #2: IVF (inverted-file) — the coarse-quantizer
+    // family alongside the LSH family (q34/q37). Centroids are the
+    // first 16 corpus vectors (deterministic stand-in for trained
+    // k-means — the index structure, not the training loop, is what
+    // the engine owes); every vector is assigned to its nearest
+    // centroid by integer squared-L2 with cent_id tiebreak, each probe
+    // searches only its nProbe=2 nearest centroid cells, top-5 by
+    // integer dot. All math is on milli-quantized longs, so the whole
+    // index build AND search are value-exact against the DuckDB
+    // oracle.
+    //
+    // Scale shape (10^9 vectors, k ~ sqrt(n) centroids): the centroid
+    // table is collapsed to ONE array row and broadcast, so assignment
+    // is a map-only pass over the corpus — zero shuffles, no explode,
+    // no per-centroid row blowup (the argmin runs INSIDE one row via
+    // array_sort over k (d2, cid) structs, O(k·dim) per vector like
+    // any IVF build). Probe cells are broadcast; only the ~nProbe/k
+    // fraction of the corpus that lands in probed cells reaches the
+    // per-probe top-k window. Long bounds: coord diff <= ~2.1e3
+    // squared 4.4e6, x64 dims -> d2 <= 2.9e8; dot <= 1.8e7.
+    "q42_ann_ivf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val quant = expr("transform(embedding, x -> bigint(round(double(x) * 1000D)))")
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long").as("vec_id"), quant.as("ce"))
+      val cents = base.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("ce").as("cc"))
+        .agg(collect_list(struct(col("cent_id"), col("cc"))).as("cents"))
+      def cellsOf(vec: String, take: Int) = expr(
+        s"""transform(slice(array_sort(transform(cents, c -> named_struct(
+           |  'd2', aggregate(zip_with($vec, c.cc, (x, y) -> (x - y) * (x - y)),
+           |                  0L, (acc, v) -> acc + v),
+           |  'cid', c.cent_id))), 1, $take), s -> s.cid)""".stripMargin)
+      val assigned = base.crossJoin(broadcast(cents))
+        .withColumn("cent_id", cellsOf("ce", 1).getItem(0))
+        .select(col("vec_id"), col("ce"), col("cent_id"))
+      val probeCells = base.filter(col("vec_id") < 3).crossJoin(broadcast(cents))
+        .select(col("vec_id").as("qid"), col("ce").as("qe"),
+          explode(cellsOf("ce", 2)).as("cent_id"))
+      val dot = expr("aggregate(zip_with(ce, qe, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+      val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
+      assigned.join(broadcast(probeCells), Seq("cent_id"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dot", dot)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vec_id"), col("cent_id"), col("dot"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // multimodal frame-sampling pipeline: metadata-only stride
+    // selection (Media.sampleIndices) -> seekable subset decode
+    // (decodeFrameSubset touches ONLY the selected frames' byte
+    // ranges) -> 2x box-filter resize per frame. The oracle checks the
+    // full geometry chain — frame boundaries, sampled byte counts, and
+    // resized plane sizes — in pure integer SQL; the per-byte resize
+    // CONTENT is pinned by MediaSpec unit tests (DuckDB can't index
+    // into blobs cheaply, and the content math is deterministic
+    // integer means). At 100 TB this shape is the point: sampling
+    // decisions come from metadata before any payload byte is read, so
+    // a stride-s pass decodes ~1/s of the corpus bytes.
+    "q43_media_frame_sample" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      import graft.multimodal.Media
+      Media.fromDocuments(t(s, dir, "documents"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val idx = Media.sampleIndices(r.n_frames, 2)
+            val frames = Media.MediaDecoder.Stub.decodeFrameSubset(r, idx)
+            val resized = frames.map(f => Media.resizePlane(f, r.width, 2))
+            (r.doc_id, r.n_frames.toLong, idx.length.toLong,
+              frames.map(_.length.toLong).sum,
+              resized.map(_.length.toLong).sum)
+          }
+        }
+        .toDF("doc_id", "n_frames", "n_sampled", "sampled_bytes", "resized_bytes")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- rows-only entries (not ANSI-SQL-expressible identically) ----
 
     // ANN: brute-force cosine top-5 for 3 probe vectors (float math —
@@ -963,6 +1043,76 @@ object SparkEntry {
         |SELECT a, b, dot, na2, nb2 FROM scored
         |WHERE dot > 0 AND 25 * dot * dot >= 4 * na2 * nb2
         |ORDER BY a, b""".stripMargin,
+
+    // same IVF semantics as the Spark side, declared relationally:
+    // nearest-centroid assignment and probe cells via row_number with
+    // the same (d2, cent_id) tiebreak
+    "q42_ann_ivf" ->
+      """WITH cv AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ce
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, ce AS cc FROM cv WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, ce, cent_id FROM (
+        |    SELECT v.vec_id, v.ce, c.cent_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(v.ce, c.cc),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cent_id) AS rk
+        |    FROM cv v, cents c) WHERE rk = 1),
+        |probe_cells AS (
+        |  SELECT qid, qe, cent_id FROM (
+        |    SELECT p.vec_id AS qid, p.ce AS qe, c.cent_id,
+        |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(p.ce, c.cc),
+        |          p2 -> (p2[1] - p2[2]) * (p2[1] - p2[2]))), c.cent_id) AS rk
+        |    FROM cv p, cents c WHERE p.vec_id < 3) WHERE rk <= 2),
+        |cand AS (
+        |  SELECT pc.qid, a.vec_id, a.cent_id,
+        |    CAST(list_sum(list_transform(list_zip(a.ce, pc.qe),
+        |      p -> p[1] * p[2])) AS BIGINT) AS dot
+        |  FROM assigned a JOIN probe_cells pc ON a.cent_id = pc.cent_id
+        |  WHERE a.vec_id <> pc.qid)
+        |SELECT qid, rank, vec_id, cent_id, dot FROM (
+        |  SELECT qid, vec_id, cent_id, dot,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id)
+        |      AS BIGINT) AS rank
+        |  FROM cand) WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
+    // same geometry chain as the Spark side in pure integer SQL:
+    // metadata -> stub frame boundaries (per = max(1, len/nf), last
+    // frame takes the remainder) -> stride-2 sample -> 2x box-resize
+    // output sizes (ow = ceil(w/2), oh = ceil(ceil(sz/w)/2))
+    "q43_media_frame_sample" ->
+      """WITH m AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS len,
+        |    CAST(CASE CAST(doc_id % 3 AS INTEGER)
+        |      WHEN 0 THEN 1
+        |      WHEN 1 THEN 1 + CAST(n_chars % 3 AS INTEGER)
+        |      ELSE 1 + CAST(n_chars % 7 AS INTEGER) END AS BIGINT) AS nf,
+        |    CAST(16 + doc_id % 64 AS BIGINT) AS w
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, len, nf, w, greatest(1, len // nf) AS per,
+        |    list_filter(range(0, nf), i -> i % 2 = 0) AS sel
+        |  FROM m),
+        |g AS (
+        |  SELECT doc_id, nf, w, len(sel) AS ns,
+        |    list_transform(sel, i ->
+        |      (CASE WHEN i = nf - 1 THEN len
+        |            ELSE least(len, least(len, i * per) + per) END)
+        |      - least(len, i * per)) AS szs
+        |  FROM f)
+        |SELECT doc_id, nf AS n_frames, CAST(ns AS BIGINT) AS n_sampled,
+        |  CAST(coalesce(list_sum(szs), 0) AS BIGINT) AS sampled_bytes,
+        |  CAST(coalesce(list_sum(list_transform(szs, sz ->
+        |    CASE WHEN sz = 0 THEN 0
+        |         ELSE ((w + 1) // 2) * (((sz + w - 1) // w + 1) // 2) END)), 0)
+        |    AS BIGINT) AS resized_bytes
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "q28_distinct_from_metadata" ->
       """SELECT source,

@@ -54,6 +54,17 @@ object Media {
       * realistic byte distributions.
       */
     def decodeFrames(row: MediaRow): Array[Array[Byte]]
+
+    /** Decode ONLY the selected frame indices. Default implementation
+      * decodes everything then selects — correct for any decoder; a
+      * seekable container format (anything with a frame index) should
+      * override to touch only the selected frames' bytes, making
+      * frame-sampling O(selected), not O(all frames). [[Stub]] does.
+      */
+    def decodeFrameSubset(row: MediaRow, indices: Array[Int]): Array[Array[Byte]] = {
+      val all = decodeFrames(row)
+      indices.map(all(_))
+    }
   }
 
   object MediaDecoder {
@@ -73,7 +84,74 @@ object Media {
           java.util.Arrays.copyOfRange(row.payload, from, to)
         }
       }
+
+      /** Frame boundaries are metadata-derived, so a subset decode
+        * slices ONLY the selected frames' byte ranges — the seekable
+        * path a real container's frame index enables (pinned by the
+        * clobber-unselected-bytes test in MediaSpec).
+        */
+      override def decodeFrameSubset(row: MediaRow, indices: Array[Int]): Array[Array[Byte]] = {
+        val n = math.max(1, row.n_frames)
+        val len = row.payload.length
+        val per = math.max(1, len / n)
+        indices.map { i =>
+          require(i >= 0 && i < n, s"frame $i out of [0, $n)")
+          val from = math.min(len, i * per)
+          val to = if (i == n - 1) len else math.min(len, from + per)
+          java.util.Arrays.copyOfRange(row.payload, from, to)
+        }
+      }
     }
+  }
+
+  /** Frame-sample: every `stride`-th frame index (always includes
+    * frame 0). The sampling decision needs only metadata, so it
+    * happens BEFORE decode and feeds [[MediaDecoder.decodeFrameSubset]].
+    */
+  def sampleIndices(nFrames: Int, stride: Int): Array[Int] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val n = math.max(1, nFrames)
+    Array.range(0, n, stride)
+  }
+
+  /** Resize a decoded byte plane by integer factor `k`: the plane is
+    * `width`-byte rows; each output byte is the truncating-integer mean
+    * of its k x k input block (partial edge blocks average what exists).
+    * Box-filter downsample — the deterministic integer core of a real
+    * bilinear/area resize, applied to whatever plane the decoder
+    * produced.
+    */
+  def resizePlane(frame: Array[Byte], width: Int, k: Int): Array[Byte] = {
+    require(width >= 1 && k >= 1, s"width $width, k $k")
+    if (frame.isEmpty || k == 1) return frame
+    val h = (frame.length + width - 1) / width
+    val ow = (width + k - 1) / k
+    val oh = (h + k - 1) / k
+    val out = new Array[Byte](ow * oh)
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        var sum = 0L
+        var cnt = 0
+        var y = oy * k
+        val yEnd = math.min(h, y + k)
+        while (y < yEnd) {
+          var x = ox * k
+          val xEnd = math.min(width, x + k)
+          while (x < xEnd) {
+            val p = y * width + x
+            if (p < frame.length) { sum += frame(p) & 0xff; cnt += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        out(oy * ow + ox) = (if (cnt == 0) 0 else (sum / cnt)).toByte
+        ox += 1
+      }
+      oy += 1
+    }
+    out
   }
 
   /** Synthesize a deterministic media table from the documents table:

@@ -168,6 +168,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.sql.types.LongType), df.schema.treeString)
   }
 
+  test("q42 IVF: map-only assignment, broadcast joins, long-only output") {
+    val df = SparkEntry.queries("q42_ann_ivf")(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString()
+    assert(!phys.contains("SortMergeJoin") && !phys.contains("CartesianProduct"),
+      "IVF probe-cell join must broadcast, not shuffle or cartesian")
+    // nearest-centroid assignment runs INSIDE each corpus row
+    // (array_sort over the broadcast centroid array): no Generate
+    // (explode) may feed off the full corpus — the only Generate is
+    // the nProbe expansion of the <3-probe side
+    val gens = df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.nonEmpty, "expected the probe-side nProbe explode")
+    gens.foreach { g =>
+      val probeOnly = g.child.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("< 3") => f
+      }
+      assert(probeOnly.nonEmpty, s"Generate feeds off the corpus:\n$g")
+    }
+    assert(df.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType), df.schema.treeString)
+  }
+
   test("q41 exact near-dup: quantized vectors do not ride the band join") {
     val lp = SparkEntry.queries("q41_embed_neardup_exact")(spark, sf)
       .queryExecution.optimizedPlan
