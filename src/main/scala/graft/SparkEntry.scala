@@ -594,6 +594,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // event-time tumbling windows via Spark's window() primitive — the
+    // same windowing streaming.StreamOps.windowedTokenStats uses with a
+    // watermark, applied batch so DuckDB's time_bucket can oracle it
+    // (both align 6h buckets to midnight). Sums are integer cents
+    // (representation-proof, see q02); window start is formatted to a
+    // string so the compare never depends on timestamp encoding.
+    "q44_event_time_windows" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("sum_value_cents"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value_cents"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     // ---- rows-only entries (not ANSI-SQL-expressible identically) ----
 
     // ANN: brute-force cosine top-5 for 3 probe vectors (float math —
@@ -1113,6 +1130,18 @@ object SparkEntry {
         |         ELSE ((w + 1) // 2) * (((sz + w - 1) // w + 1) // 2) END)), 0)
         |    AS BIGINT) AS resized_bytes
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q44_event_time_windows" ->
+      """SELECT
+        |  strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS window_start,
+        |  event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_cents
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
 
     "q28_distinct_from_metadata" ->
       """SELECT source,
