@@ -734,7 +734,8 @@ object SparkEntry {
     // bands), exact-cosine confirmation — the banding recall/cost
     // trade that survives 10^9 vectors, where the brute-force q30
     // cross join does not. Bits per band grow with log2(n)
-    // (Lsh.bitsPerBandFor: 4 at the 500-vector test scale, 7 at 10^9)
+    // (Lsh.bitsPerBandFor: 4 at the 500-vector test scale, 9 at 10^9,
+    // each band its own Int so width is never capped by band count)
     // so per-band bucket population n/2^bits shrinks RELATIVE to n —
     // a fixed 4-bit band is all-pairs with extra steps at 10^9
     "q37_embed_neardup" -> ((s, dir) => {
@@ -752,8 +753,8 @@ object SparkEntry {
         .select(col("vec_id").cast("long"), col("embedding"))
         .as[(Long, Array[Float])]
         .map { case (id, emb) =>
-          val full = graft.similarity.Lsh.signature(emb, nBits = bands * bitsPerBand)
-          val sigs = Array.tabulate(bands)(b => (full >>> (b * bitsPerBand)) & ((1 << bitsPerBand) - 1))
+          val sigs = Array.tabulate(bands)(b =>
+            graft.similarity.Lsh.bandSignature(emb, b, bitsPerBand))
           (id, sigs)
         }
         .toDF("vec_id", "sigs")

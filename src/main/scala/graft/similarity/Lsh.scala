@@ -43,6 +43,30 @@ object Lsh {
   /** Hamming distance between two signatures. */
   def hamming(a: Int, b: Int): Int = java.lang.Integer.bitCount(a ^ b)
 
+  /** Band `band`'s nBits-wide signature, as its own Int. Bit b uses the
+    * GLOBAL hyperplane index band*nBits + b, so for widths that fit one
+    * packed Int this is bit-identical to slicing
+    * `signature(emb, bands*nBits)` — but it does NOT require
+    * bands*nBits <= 32: each band carries up to 28 bits regardless of
+    * band count. Packing all bands into one Int silently capped
+    * per-band width at 28/bands, which stopped width growth at
+    * n ~ 16M vectors and let per-bucket self-join cost creep back
+    * toward quadratic beyond it.
+    */
+  def bandSignature(emb: Array[Float], band: Int, nBits: Int): Int = {
+    var sig = 0
+    var b = 0
+    while (b < nBits) {
+      var dot = 0.0
+      var d = 0
+      val g = band * nBits + b
+      while (d < emb.length) { dot += emb(d) * plane(g, d); d += 1 }
+      if (dot >= 0) sig |= 1 << b
+      b += 1
+    }
+    sig
+  }
+
   /** Signature width for a PROBE-bucketed ANN over n vectors:
     * ceil(log2(n / targetBucket)) hyperplanes put ~targetBucket
     * candidates in each probe's bucket. Fixed widths do not survive
@@ -60,10 +84,12 @@ object Lsh {
     * ceil(log2(n)/bands) + 1. Grows with log2(n) so per-band bucket
     * population (n / 2^bits) — and with it the per-bucket self-join —
     * shrinks relative to n as the corpus grows, keeping candidate
-    * generation sub-quadratic. Clamped so bands*bits fits an Int.
+    * generation sub-quadratic. Clamped to [4, 28] per band (each band's
+    * signature is its own Int via [[bandSignature]] — widths are NOT
+    * limited by bands*bits <= 32).
     */
   def bitsPerBandFor(n: Long, bands: Int): Int = {
     val b = math.ceil(math.log(math.max(2L, n).toDouble) / math.log(2) / bands).toInt + 1
-    math.min(28 / math.max(1, bands), math.max(4, b))
+    math.min(28, math.max(4, b))
   }
 }

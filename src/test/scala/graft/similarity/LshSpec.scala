@@ -16,6 +16,10 @@ class LshSpec extends AnyFunSuite {
     // 10^9 vectors: widths must be materially larger
     assert(Lsh.bitsFor(1000000000L) >= 24)
     assert(Lsh.bitsPerBandFor(1000000000L, 4) >= 7)
+    // per-band width must NOT be capped by band count (the old packed-
+    // Int clamp froze growth at 28/bands = 7 bits past n ~ 16M)
+    assert(Lsh.bitsPerBandFor(1000000000L, 4) == 9)
+    assert(Lsh.bitsPerBandFor(1L << 60, 4) == 16)
     // monotone non-decreasing in n
     val ns = Seq(100L, 10000L, 1000000L, 100000000L)
     val probes = ns.map(Lsh.bitsFor(_))
@@ -55,14 +59,12 @@ class LshSpec extends AnyFunSuite {
     val bands = 4
     val bpb = Lsh.bitsPerBandFor(n.toLong, bands)
     assert(bpb >= 5, s"expected >=5 bits/band at 100k, got $bpb")
-    val mask = (1 << bpb) - 1
     val counts = Array.ofDim[Int](bands, 1 << bpb)
     var i = 0
     while (i < n) {
-      val full = Lsh.signature(vec(i, dim), bands * bpb)
       var b = 0
       while (b < bands) {
-        counts(b)((full >>> (b * bpb)) & mask) += 1
+        counts(b)(Lsh.bandSignature(vec(i, dim), b, bpb)) += 1
         b += 1
       }
       i += 1
@@ -73,5 +75,20 @@ class LshSpec extends AnyFunSuite {
     // population is what keeps candidate generation sub-quadratic
     assert(maxBucket <= n / 8,
       s"band bucket too fat for sub-quadratic self-join: $maxBucket of $n")
+  }
+
+  test("bandSignature slices match the packed signature when widths fit an Int") {
+    val dim = 16
+    val bands = 4
+    val bpb = 5 // bands*bpb = 20 <= 32: packed form exists to compare against
+    val mask = (1 << bpb) - 1
+    (0 until 200).foreach { i =>
+      val v = vec(i, dim)
+      val full = Lsh.signature(v, bands * bpb)
+      (0 until bands).foreach { b =>
+        assert(Lsh.bandSignature(v, b, bpb) == ((full >>> (b * bpb)) & mask),
+          s"band $b of vector $i diverges from the packed slice")
+      }
+    }
   }
 }
