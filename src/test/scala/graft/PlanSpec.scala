@@ -61,6 +61,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "no map-side partial aggregation")
   }
 
+  test("q44 event-time windows: partial aggregation, events scan pruned") {
+    val df = SparkEntry.queries("q44_event_time_windows")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    // one shuffle on (window, event_type) with map-side combine — at
+    // 100 TB the partial aggregate is what keeps the shuffle small
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no map-side partial aggregation")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("event_id") && !read.contains("user_id") && !read.contains("props"),
+      s"events scan reads columns the windowing never uses: $read")
+  }
+
   test("decode-pruned query: part_source filter applies before decode") {
     // on the written chunks table the filter becomes partition pruning;
     // in-flight it must at least precede the deserialize/decode stage
