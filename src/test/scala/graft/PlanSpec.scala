@@ -217,4 +217,28 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(vectors.isEmpty, s"band join shuffles vector columns: $cols")
     }
   }
+
+  test("chunksFor: one encode per (session, dir, tokensPerChunk)") {
+    // identity on repeat calls — the chunk-reading queries must share a
+    // single persisted encode, not re-run the encoder per query
+    val a = SparkEntry.chunksFor(spark, sf, 16384)
+    val b = SparkEntry.chunksFor(spark, sf, 16384)
+    assert(a eq b, "repeat call must return the cached dataset")
+    // distinct params get distinct cache entries
+    val c = SparkEntry.chunksFor(spark, sf, 1L << 40)
+    assert(!(a eq c), "different tokensPerChunk must not share an entry")
+    assert(a.storageLevel.useDisk || a.storageLevel.useMemory,
+      "cached chunks must be persisted")
+    // the at-rest dir is written once and reused
+    val d1 = SparkEntry.chunksDirFor(spark, sf, 16384)
+    val d2 = SparkEntry.chunksDirFor(spark, sf, 16384)
+    assert(d1 == d2, "at-rest chunks dir must be reused")
+    assert(new java.io.File(graft.engine.Pipeline.chunksPath(d1)).exists())
+  }
+
+  test("q39 admission report: broadcast global aggregate, no window") {
+    val p = plan("q39_admission_report")
+    assert(!p.contains("Window"), "q39 must not move data through a window")
+    assert(p.contains("Broadcast"), "q39's global aggregate must broadcast")
+  }
 }
