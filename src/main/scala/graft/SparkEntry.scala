@@ -778,11 +778,13 @@ object SparkEntry {
     // generation (equi self-join per band, distinct pairs across
     // bands), exact-cosine confirmation — the banding recall/cost
     // trade that survives 10^9 vectors, where the brute-force q30
-    // cross join does not. Bits per band grow with log2(n)
-    // (Lsh.bitsPerBandFor: 4 at the 500-vector test scale, 9 at 10^9,
-    // each band its own Int so width is never capped by band count)
-    // so per-band bucket population n/2^bits shrinks RELATIVE to n —
-    // a fixed 4-bit band is all-pairs with extra steps at 10^9
+    // cross join does not. Per-band width r = ceil(log2(n/c)) — the
+    // FULL log2(n) (Lsh.bitsPerBandFor: 6 at the 500-vector test
+    // scale, 27 at 10^9) so random-pair collision rate 2^-r <= c/n
+    // and candidate volume stays ~ bands*c*n, linear in the corpus;
+    // bands buy recall only (see the width-vs-volume math on
+    // bitsPerBandFor — the earlier log2(n)/bands rule was n^(2-1/b)
+    // candidates: 23% of ALL pairs already at n=2000)
     "q37_embed_neardup" -> ((s, dir) => {
       val spark = s
       import spark.implicits._

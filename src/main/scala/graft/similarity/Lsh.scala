@@ -80,16 +80,39 @@ object Lsh {
   }
 
   /** Per-band signature width for BANDED near-dup candidate generation
-    * (bands OR'd for recall, all bits within a band must match):
-    * ceil(log2(n)/bands) + 1. Grows with log2(n) so per-band bucket
-    * population (n / 2^bits) — and with it the per-bucket self-join —
-    * shrinks relative to n as the corpus grows, keeping candidate
-    * generation sub-quadratic. Clamped to [4, 28] per band (each band's
-    * signature is its own Int via [[bandSignature]] — widths are NOT
-    * limited by bands*bits <= 32).
+    * (bands OR'd for recall, all bits within a band must match).
+    *
+    * The width is set by CANDIDATE VOLUME, independent of band count:
+    * two random vectors agree on one hyperplane bit with probability
+    * 1/2 (theta ~ 90deg), so a band of r bits collides on random pairs
+    * at rate 2^-r and one band generates ~ n^2/2 * 2^-r candidate
+    * pairs. For that to stay LINEAR in n (~ c*n/2 per band, c =
+    * `perItemCandidates`), r must satisfy 2^r >= n/c, i.e.
+    * r = ceil(log2(n/c)) — the full log2(n), NOT log2(n)/bands. The
+    * earlier log2(n)/bands rule left per-band collision rate
+    * ~ 2/n^(1/bands) and candidate volume ~ n^(2-1/bands): at n = 2000
+    * it already emitted 23% of ALL pairs (measured 468k of 2M), and at
+    * 10^9 vectors / 4 bands it computes to ~10^15.75 pairs — quadratic
+    * in disguise.
+    *
+    * Bands buy RECALL, never volume: a pair whose per-bit agreement is
+    * p = 1 - theta/pi survives a band with p^r and >=1 of b bands with
+    * 1-(1-p^r)^b. At r=8 (n=2000, c=8) a cos 0.9 pair (p=.857) passes
+    * a band with .29, so 4 bands give 75% recall while random pairs
+    * stay at 4*n/c/2 candidates. As n grows, r grows and a fixed-recall
+    * deployment grows bands ~ ln(1/(1-R))/p^r — the standard
+    * bands-for-recall / width-for-volume split (Charikar 2002 /
+    * MMDS ch.3). Clamped to [4, 28]: each band's signature is its own
+    * Int via [[bandSignature]] (no bands*bits <= 32 cap); past
+    * n ~ c*2^28 the Int clamp binds and candidate volume degrades
+    * gracefully toward n^2/2^28 — switch the signature to a Long to
+    * extend the linear regime.
+    *
+    * `bands` is accepted for call-site symmetry with the banded
+    * queries but deliberately does not influence the width.
     */
-  def bitsPerBandFor(n: Long, bands: Int): Int = {
-    val b = math.ceil(math.log(math.max(2L, n).toDouble) / math.log(2) / bands).toInt + 1
-    math.min(28, math.max(4, b))
+  def bitsPerBandFor(n: Long, bands: Int, perItemCandidates: Int = 8): Int = {
+    val need = math.max(2.0, n.toDouble / math.max(1, perItemCandidates))
+    math.min(28, math.max(4, math.ceil(math.log(need) / math.log(2)).toInt))
   }
 }
