@@ -492,6 +492,34 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // F3 on the VALUE column: token-membership search through the
+    // constraint skip ladder — (1) chunk min_token/max_token bounds as
+    // plain metadata columns (Catalyst filter, and parquet row-group
+    // stats prune the scan at rest), (2) dictionary-header binary
+    // search for dict-coded chunks (O(log distinct), no payload
+    // decode), (3) full decode only for surviving chunks — the
+    // reference's Equal-constraint ladder (bloom -> page min/max ->
+    // dictionary -> read; reference: search/constraint.go:343-463)
+    // re-expressed at chunk grain. Oracle recomputes per-doc occurrence
+    // counts of the probe character from raw text.
+    "q45_token_search" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val probe = 'q'.toInt // codepoint 113 — rare (~0.5% of tokens)
+      chunksFor(s, dir, tokensPerChunk = 16384)
+        .filter(col("min_token") <= probe && col("max_token") >= probe)
+        .flatMap { c =>
+          if (!Decoder.chunkMayContainToken(c, probe)) Iterator.empty
+          else Decoder.decodeChunk(c).flatMap { r =>
+            var hits = 0L
+            r.tokens.foreach(v => if (v == probe) hits += 1)
+            if (hits > 0) Iterator.single((r.doc_id.toLong, hits)) else Iterator.empty
+          }
+        }
+        .toDF("doc_id", "n_hits")
+        .orderBy(col("doc_id"))
+    }),
+
     // ANN exact-oracle variant of q30: embeddings quantized to integer
     // milli-units (round(x*1000) — exact, engine-portable longs), probe
     // top-5 ranked by INTEGER dot product with vec_id tiebreak. Every
@@ -1056,6 +1084,14 @@ object SparkEntry {
         |  sum(length(text)) * (SELECT count(DISTINCT source) FROM documents)
         |    <= (SELECT sum(length(text)) FROM documents) AS admitted
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // occurrence count of 'q' per doc = character-count difference after
+    // removing it; tokens are text codepoints so the counts agree
+    "q45_token_search" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(length(text) - length(replace(text, 'q', '')) AS BIGINT) AS n_hits
+        |FROM documents WHERE contains(text, 'q')
+        |ORDER BY doc_id""".stripMargin,
 
     // CAST(x AS DOUBLE) BEFORE the *1000: DuckDB would otherwise compute
     // float32 * int in float32 while Spark widens float -> double, and

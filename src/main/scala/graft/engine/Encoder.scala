@@ -94,6 +94,17 @@ object Encoder {
       if (maxDoc == null || r.doc_id > maxDoc) maxDoc = r.doc_id
     }
     val n = docIds.length
+    // token value bounds for chunk-stat pruning (one cheap pass; the
+    // codec trials below dwarf it)
+    var minTok = Int.MaxValue
+    var maxTok = Int.MinValue
+    var ti = 0
+    while (ti < toks.len) {
+      val v = toks.arr(ti)
+      if (v < minTok) minTok = v
+      if (v > maxTok) maxTok = v
+      ti += 1
+    }
     // tokens are the dominant payload: pick the codec by post-zstd size
     val (ct, tokensEnc) = Selector.encodeAutoZstdAware(toks.arr, 0, toks.len)
     val (cl, lengthsEnc) = Selector.encodeAuto(lengths.toArray)
@@ -112,6 +123,8 @@ object Encoder {
       min_doc_id = if (minDoc == null) "" else minDoc,
       max_doc_id = if (maxDoc == null) "" else maxDoc,
       token_cardinality = Selector.exactDistinct(toks.arr, 0, toks.len),
+      min_token = minTok,
+      max_token = maxTok,
       codec_tokens = ct.name,
       codec_lengths = cl.name,
       codec_doc_id = StrCodec.name(cd),
@@ -271,6 +284,20 @@ object Decoder {
       DocIndexRow(chunkId, docIds(i), lengths(i), sources(i))
     }
   }
+
+  /** Cheap may-contain test for a token value — the reference's
+    * Equal-constraint skip ladder (stats, then dictionary, before any
+    * data read; reference: search/constraint.go:343-463) at chunk
+    * grain: (1) chunk min/max token bounds (plain metadata columns, so
+    * parquet row-group stats prune the SCAN too); (2) for Dict-coded
+    * chunks, binary search of the ascending dictionary header —
+    * O(log distinct), no payload decode. Returns true when containment
+    * cannot be ruled out cheaply (non-dict codecs after a bounds pass).
+    */
+  def chunkMayContainToken(c: EncodedChunk, t: Int): Boolean =
+    t >= c.min_token && t <= c.max_token &&
+      graft.codec.IntCodec.dictValues(c.tokens_enc)
+        .forall(vs => java.util.Arrays.binarySearch(vs, t) >= 0)
 
   /** Distinct token values of a chunk. For Dict-coded chunks this reads
     * ONLY the dictionary header — O(distinct), no row decode (the

@@ -53,6 +53,18 @@ final case class EncodedChunk(
       * queries read this O(1) field instead of decoding the payload.
       */
     token_cardinality: Int,
+    /** token VALUE bounds of the chunk — min/max stats on the payload
+      * column itself, the analog of the reference's page statistics on
+      * data values that let an Equal constraint skip pages before any
+      * read (reference: search/constraint.go:394-433, 459-463). A
+      * token-membership search prunes to chunks whose [min,max] covers
+      * the probe, then (dict-coded chunks) checks the dictionary header
+      * — O(log distinct), no payload decode — before committing to a
+      * full decode ([[Decoder.chunkMayContainToken]]). Empty chunk:
+      * (Int.MaxValue, Int.MinValue) — an empty range no probe matches.
+      */
+    min_token: Int,
+    max_token: Int,
     codec_tokens: String,
     codec_lengths: String,
     codec_doc_id: String,

@@ -127,6 +127,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"doc_id bounds not pushed: ${p.linesIterator.find(_.contains("PushedFilters")).getOrElse(p.take(500))}")
   }
 
+  test("token-search value bounds are pushed to the parquet scan") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(graft.engine.Pipeline.chunksPath(chunksDir))
+      .filter(col("min_token") <= 113 && col("max_token") >= 113)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(min_token"),
+      s"token bounds not pushed: ${p.linesIterator.find(_.contains("PushedFilters")).getOrElse(p.take(500))}")
+  }
+
   test("chunks table write carries a bloom filter on chunk_id") {
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration

@@ -315,6 +315,38 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("token value stats + dictionary skip rule out absent tokens without decode") {
+    import spark.implicits._
+    val rows = (0 until 40).map { i =>
+      TokenRow(f"d$i%03d", Array.fill(1500)((i % 7) * 10), 1500, "web")
+    }
+    val chunks = Encoder.encodeTable(spark.createDataset(rows), tokensPerChunk = 1 << 24).collect()
+    assert(chunks.nonEmpty)
+    chunks.foreach { c =>
+      val all = graft.codec.IntCodec.decode(c.tokens_enc)
+      assert(c.min_token == all.min && c.max_token == all.max,
+        s"chunk stats (${c.min_token},${c.max_token}) vs data (${all.min},${all.max})")
+      // layer 1, bounds skip: outside [min,max] regardless of codec
+      assert(!Decoder.chunkMayContainToken(c, c.min_token - 1))
+      assert(!Decoder.chunkMayContainToken(c, c.max_token + 1))
+      assert(Decoder.chunkMayContainToken(c, c.min_token))
+      assert(Decoder.chunkMayContainToken(c, c.max_token))
+    }
+    // layer 2, dictionary skip: pin the Dict codec explicitly (the
+    // auto-selector may legitimately prefer RLE/plain+zstd for this
+    // fixture) — a probe INSIDE the bounds but absent from the data
+    // (35 sits between the multiples of 10) is ruled out by the
+    // dictionary header alone, no payload decode
+    val vals = Array.tabulate(5000)(i => (i % 7) * 10)
+    val sink = new graft.codec.ByteSink(5000 * 4 + 16)
+    graft.codec.IntCodec.Dict.encode(vals, 0, vals.length, sink)
+    val dictChunk = chunks.head.copy(
+      tokens_enc = sink.result(), min_token = 0, max_token = 60)
+    assert(graft.codec.IntCodec.dictValues(dictChunk.tokens_enc).isDefined)
+    assert(!Decoder.chunkMayContainToken(dictChunk, 35))
+    assert(Decoder.chunkMayContainToken(dictChunk, 30))
+  }
+
   test("verify is exact under duplicate doc_ids") {
     import spark.implicits._
     // same doc_id twice with identical tokens: a naive doc_id join
