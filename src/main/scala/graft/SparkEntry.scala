@@ -520,6 +520,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // sequence-packing PLAN (training-data step: variable-length docs →
+    // fixed-budget examples): deterministic start-offset packing, one
+    // window cumsum partitioned by source — metadata only, the token
+    // payload never enters the plan (see engine/Packer.scala for the
+    // never-split / overflow-by-one-doc discipline and the scale shape)
+    "q46_pack_plan" -> ((s, dir) => {
+      graft.engine.Packer.plan(tokenTable(s, dir), binTokens = 2048)
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tok").cast("long")).as("bin_tokens"))
+        .orderBy(col("source"), col("bin"))
+    }),
+
+    // packed-example MATERIALIZATION: per (source, bin) concatenated
+    // token arrays with doc boundaries — payload shuffled once to its
+    // bin reducer (repartition + sortWithinPartitions + streaming
+    // group-consecutive, the Encoder's discipline). tok_sum makes the
+    // concatenation content (not just its shape) oracle-checkable.
+    "q47_pack_examples" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      graft.engine.Packer.pack(tokenTable(s, dir), binTokens = 2048)
+        .map(p => (p.source, p.bin, p.n_docs.toLong, p.n_tok.toLong,
+          p.tokens.foldLeft(0L)(_ + _)))
+        .toDF("source", "bin", "n_docs", "n_tok", "tok_sum")
+        .orderBy(col("source"), col("bin"))
+    }),
+
     // ANN exact-oracle variant of q30: embeddings quantized to integer
     // milli-units (round(x*1000) — exact, engine-portable longs), probe
     // top-5 ranked by INTEGER dot product with vec_id tiebreak. Every
@@ -1092,6 +1120,33 @@ object SparkEntry {
         |  CAST(length(text) - length(replace(text, 'q', '')) AS BIGINT) AS n_hits
         |FROM documents WHERE contains(text, 'q')
         |ORDER BY doc_id""".stripMargin,
+
+    // the same start-offset packing in SQL: window cumsum per source in
+    // STRING doc_id order (the engine's doc_id is a string; DuckDB's
+    // VARCHAR ordering is codepoint-wise like Spark's)
+    "q46_pack_plan" ->
+      """WITH plan AS (
+        |  SELECT source, length(text) AS n_tok,
+        |    CAST(floor((sum(length(text)) OVER (PARTITION BY source
+        |        ORDER BY CAST(doc_id AS VARCHAR) ROWS UNBOUNDED PRECEDING)
+        |      - length(text)) / 2048.0) AS BIGINT) AS bin
+        |  FROM documents)
+        |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+        |FROM plan GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    "q47_pack_examples" ->
+      """WITH plan AS (
+        |  SELECT source, length(text) AS n_tok,
+        |    (SELECT sum(unicode(ch)) FROM unnest(string_split(text, '')) AS u(ch)) AS cp_sum,
+        |    CAST(floor((sum(length(text)) OVER (PARTITION BY source
+        |        ORDER BY CAST(doc_id AS VARCHAR) ROWS UNBOUNDED PRECEDING)
+        |      - length(text)) / 2048.0) AS BIGINT) AS bin
+        |  FROM documents)
+        |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
+        |  CAST(sum(cp_sum) AS BIGINT) AS tok_sum
+        |FROM plan GROUP BY source, bin ORDER BY source, bin""".stripMargin,
 
     // CAST(x AS DOUBLE) BEFORE the *1000: DuckDB would otherwise compute
     // float32 * int in float32 while Spark widens float -> double, and

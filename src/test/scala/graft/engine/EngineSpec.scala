@@ -347,6 +347,48 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Decoder.chunkMayContainToken(dictChunk, 30))
   }
 
+  test("packer: docs never split, budget overflows by at most one doc") {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val n = 1 + r.nextInt(900)
+      TokenRow(f"d$i%04d", Array.tabulate(n)(j => (i * 31 + j) % 997), n, s"src${i % 3}")
+    }
+    val ds = spark.createDataset(rows)
+    val budget = 1000L
+    val packed = Packer.pack(ds, budget).collect()
+    // conservation: every doc and every token lands in exactly one bin
+    assert(packed.map(_.n_docs).sum == rows.length)
+    assert(packed.map(_.n_tok.toLong).sum == rows.map(_.n_tok.toLong).sum)
+    packed.foreach { p =>
+      // internal consistency: boundaries describe the concatenation
+      assert(p.lengths.sum == p.n_tok && p.tokens.length == p.n_tok)
+      assert(p.doc_ids.length == p.n_docs)
+      assert(p.doc_ids.sorted.sameElements(p.doc_ids), "docs out of order in bin")
+      // never-split discipline: a bin exceeds the budget only by the
+      // tail of its last doc — every doc STARTS inside the budget
+      assert(p.n_tok - p.lengths.last < budget,
+        s"bin ${p.bin} of ${p.source}: last doc starts at offset ${p.n_tok - p.lengths.last} >= $budget")
+    }
+    // the packed concatenation reproduces each doc bit-identically
+    val byDoc = rows.map(x => x.doc_id -> x.tokens).toMap
+    packed.foreach { p =>
+      var off = 0
+      p.doc_ids.zip(p.lengths).foreach { case (id, len) =>
+        assert(java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(p.tokens, off, off + len), byDoc(id)))
+        off += len
+      }
+    }
+    // plan and materialization agree on bin assignment
+    import org.apache.spark.sql.functions.{col => fcol, sum => fsum}
+    val plan = Packer.plan(ds, budget)
+      .groupBy(fcol("source"), fcol("bin"))
+      .agg(fsum("n_tok").cast("long").as("t"))
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap
+    packed.foreach(p => assert(plan((p.source, p.bin)) == p.n_tok.toLong))
+  }
+
   test("verify is exact under duplicate doc_ids") {
     import spark.implicits._
     // same doc_id twice with identical tokens: a naive doc_id join
