@@ -821,7 +821,12 @@ object Bench {
               //     ones with (a)+(b) silent)
               // (e) sandwich drift: the two high passes agree within 15%
               // (f) physical consistency: 4x cores cannot be >4x faster
-              //     (sl <= 4*sh*1.05) and more cores are never slower
+              //     (sl <= 4*sh, NO slack: a pair reading eff > 1.0 is
+              //     physically impossible for this job — measured: a
+              //     slowdown DURING the low pass that recovers before
+              //     the second bracketing high pass reads eff 1.02 with
+              //     agreeing highs, which the old 1.05 slack admitted
+              //     as clean) and more cores are never slower
               //     (sh <= sl*1.02) — violations mean one side of the
               //     pair was polluted even if nothing else fired.
               // Detector (c), near-best pair cost, is applied in
@@ -832,7 +837,7 @@ object Bench {
               val canaryOk = math.max(prevCanary, cn) <= math.max(0.9, 1.5 * bestCanary)
               val capacityOk = math.min(ecBefore, ecAfter) >= capacityFloor
               val driftOk = math.max(h1, h2) <= 1.15 * math.min(h1, h2)
-              val consistentOk = sl <= ratio * sh * 1.05 && sh <= sl * 1.02
+              val consistentOk = sl <= ratio * sh && sh <= sl * 1.02
               val baseOk = stealOk && canaryOk && capacityOk && driftOk && consistentOk
               pairRecords :+= ((sl, sh, baseOk))
               System.err.println(f"[bench] pair$attempts: high $h1%.2fs low $sl%.2fs high $h2%.2fs canary $cn%.2fs cores $ecBefore%.1f->$ecAfter%.1f${if (baseOk) "" else " (storm-polluted)"}")
