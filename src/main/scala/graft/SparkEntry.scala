@@ -548,6 +548,38 @@ object SparkEntry {
         .orderBy(col("source"), col("bin"))
     }),
 
+    // training-data MIXING: deterministic per-source sampling via a
+    // content-hash threshold (sampling/Mix.scala — md5-hex key compared
+    // lexicographically, portable to the DuckDB oracle verbatim). The
+    // mix spec derives each source's keep-fraction from its numeric
+    // suffix ((id % 4 + 1)/4 → 0.25/0.50/0.75/1.00) so both sides
+    // compute it without a lookup table. Map-only + one partial-agg
+    // groupBy; membership is independent of partitioning and cluster
+    // size, and raising a weight only ADDS documents (Mix monotonicity).
+    "q48_source_mix_sample" -> ((s, dir) => {
+      val thr = element_at(
+        typedLit(Seq("40000000", "80000000", "c0000000", "g")),
+        (expr("CAST(substring(source, 4) AS INT)") % 4 + 1).cast("int"))
+      t(s, dir, "documents")
+        .filter(graft.sampling.Mix.sampled(col("doc_id"), thr))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("chars_sampled"))
+        .orderBy(col("source"))
+    }),
+
+    // train/val/test SPLIT assignment over the same hash key space
+    // (87.5 / 6.25 / 6.25): disjoint, exhaustive, split-stable — a doc
+    // never migrates when other sources' weights change. Per
+    // (source, split) doc and char counts.
+    "q49_split_assign" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("split", graft.sampling.Mix.splitCol(col("doc_id"),
+          boundaries = Seq(0.875, 0.9375), labels = Seq("train", "val", "test")))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_sum"))
+        .orderBy(col("source"), col("split"))
+    }),
+
     // ANN exact-oracle variant of q30: embeddings quantized to integer
     // milli-units (round(x*1000) — exact, engine-portable longs), probe
     // top-5 ranked by INTEGER dot product with vec_id tiebreak. Every
@@ -1147,6 +1179,29 @@ object SparkEntry {
         |  CAST(sum(n_tok) AS BIGINT) AS n_tok,
         |  CAST(sum(cp_sum) AS BIGINT) AS tok_sum
         |FROM plan GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    // the mix predicate verbatim: lexicographic md5-hex threshold, the
+    // per-source fraction derived from the source's numeric suffix
+    "q48_source_mix_sample" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE CAST(substring(source, 4) AS INT) % 4
+        |    WHEN 0 THEN '40000000' WHEN 1 THEN '80000000'
+        |    WHEN 2 THEN 'c0000000' ELSE 'g' END
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q49_split_assign" ->
+      """SELECT source,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e0000000'
+        |         THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'f0000000'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+        |FROM documents GROUP BY source, split ORDER BY source, split""".stripMargin,
 
     // CAST(x AS DOUBLE) BEFORE the *1000: DuckDB would otherwise compute
     // float32 * int in float32 while Spark widens float -> double, and

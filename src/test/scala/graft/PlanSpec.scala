@@ -72,6 +72,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"events scan reads columns the windowing never uses: $read")
   }
 
+  test("q48/q49 mix sampling: map-only predicate, single partial-agg shuffle") {
+    for (q <- Seq("q48_source_mix_sample", "q49_split_assign")) {
+      val p = plan(q)
+      // the sampling predicate is a per-row hash compare — no join, no
+      // extra exchange: exactly the groupBy shuffle (+AQE read) appears
+      assert(!p.contains("Join"), s"$q: sampling must not join: ${p.take(600)}")
+      // one hash shuffle (the groupBy); the only other exchange is the
+      // final presentation orderBy's range partitioning
+      assert("hashpartitioning".r.findAllIn(p).size <= 1, s"$q: extra hash shuffle")
+      assert("Exchange".r.findAllIn(p).size <= 2, s"$q: more than agg+sort shuffles")
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q: no map-side partial agg")
+      // text is never read — the scan carries only id/source/n_chars
+      val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(!read.contains("text"), s"$q scan reads text: $read")
+    }
+  }
+
   test("decode-pruned query: part_source filter applies before decode") {
     // on the written chunks table the filter becomes partition pruning;
     // in-flight it must at least precede the deserialize/decode stage
