@@ -580,6 +580,35 @@ object SparkEntry {
         .orderBy(col("source"), col("split"))
     }),
 
+    // test-set DECONTAMINATION: flag training docs sharing any 5-word
+    // shingle with a held-out benchmark set (here: the Mix 2% key slice
+    // — in production the benchmark suite itself). Scale shape: the
+    // benchmark index is small BY DEFINITION, so its md5'd shingle set
+    // (constant 32B per shingle regardless of text length) broadcasts
+    // and the 100 TB training side never shuffles except the final
+    // per-doc count. 5-gram width keeps common-phrase collisions out
+    // (3-grams flag 347 docs at sf0.01, 5-grams the 4 true overlaps).
+    "q50_decontaminate" -> ((s, dir) => {
+      val thr = graft.sampling.Mix.thresholdHex(0.02)
+      val docs = t(s, dir, "documents")
+        .withColumn("k", graft.sampling.Mix.keyCol(col("doc_id")))
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("sh", expr(
+          "CASE WHEN size(words) >= 5 THEN array_distinct(transform(sequence(1, size(words)-4), i -> " +
+            "md5(concat_ws(' ', element_at(words,i), element_at(words,i+1), element_at(words,i+2), " +
+            "element_at(words,i+3), element_at(words,i+4))))) " +
+            "ELSE CAST(array() AS array<string>) END"))
+        .select(col("doc_id"), col("k"), col("sh"))
+      val benchSh = docs.filter(col("k") < thr)
+        .select(explode(col("sh")).as("sh")).distinct()
+      docs.filter(col("k") >= thr)
+        .select(col("doc_id"), explode(col("sh")).as("sh"))
+        .join(broadcast(benchSh), "sh")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("sh")).as("n_shared_shingles"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ANN exact-oracle variant of q30: embeddings quantized to integer
     // milli-units (round(x*1000) — exact, engine-portable longs), probe
     // top-5 ranked by INTEGER dot product with vec_id tiebreak. Every
@@ -1202,6 +1231,22 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
         |FROM documents GROUP BY source, split ORDER BY source, split""".stripMargin,
+
+    // decontamination verbatim: same Mix key slice, same md5'd 5-word
+    // shingles (range is end-exclusive: i <= len-4, like sequence's
+    // inclusive 1..size-4)
+    "q50_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS k,
+        |    list_distinct(list_transform(range(1, len(w) - 3),
+        |      i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |               w[i+3] || ' ' || w[i+4]))) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(sh) AS s FROM d WHERE k < '051eb852'),
+        |tr AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE k >= '051eb852')
+        |SELECT tr.doc_id, CAST(count(DISTINCT tr.s) AS BIGINT) AS n_shared_shingles
+        |FROM tr JOIN bench ON tr.s = bench.s
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
 
     // CAST(x AS DOUBLE) BEFORE the *1000: DuckDB would otherwise compute
     // float32 * int in float32 while Spark widens float -> double, and

@@ -89,6 +89,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q50 decontamination: benchmark shingle index broadcasts") {
+    val p = plan("q50_decontaminate")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast: ${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"),
+      "the training corpus must never sort-merge against the benchmark index")
+  }
+
   test("decode-pruned query: part_source filter applies before decode") {
     // on the written chunks table the filter becomes partition pruning;
     // in-flight it must at least precede the deserialize/decode stage
