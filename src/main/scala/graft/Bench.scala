@@ -189,11 +189,14 @@ object Bench {
       */
     def runBounded(tag: String, budgetSecs: Double)(body: => Unit): Boolean = {
       val timer = new java.util.Timer(true)
-      @volatile var fired = false
+      // 0=running 1=completed 2=cancelled; the CAS settles the race
+      // where the watchdog fires in the instant between body completion
+      // (output committed) and the status read — a completed pass must
+      // never be reported failed and have its valid output deleted
+      val state = new java.util.concurrent.atomic.AtomicInteger(0)
       if (budgetSecs.isFinite && budgetSecs > 0)
         timer.schedule(new java.util.TimerTask {
-          def run(): Unit = {
-            fired = true
+          def run(): Unit = if (state.compareAndSet(0, 2)) {
             System.err.println(f"[bench-child] local[$cpus] $tag: budget ${budgetSecs}%.0fs expired, cancelling jobs")
             try spark.sparkContext.cancelJobGroup(tag) catch { case _: Throwable => }
           }
@@ -201,7 +204,8 @@ object Bench {
       try {
         spark.sparkContext.setJobGroup(tag, tag, interruptOnCancel = true)
         body
-        !fired
+        state.compareAndSet(0, 1)
+        state.get == 1
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench-child] local[$cpus] $tag failed: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
@@ -317,7 +321,12 @@ object Bench {
     }
   }
 
-  final class ChildDied(msg: String) extends RuntimeException(msg)
+  /** carries the dead child's core count so the parent attributes the
+    * death to the right level — probing Process.isAlive right after an
+    * async destroyForcibly can misattribute and restart (then orphan)
+    * the HEALTHY child
+    */
+  final class ChildDied(msg: String, val cpus: Int) extends RuntimeException(msg)
 
   /** Handle on a forked serve-mode child. All reads are pumped by a
     * daemon thread into a queue, so every wait is TIMEOUT-BOUNDED —
@@ -386,11 +395,11 @@ object Bench {
         val line = lines.poll(waitMs, java.util.concurrent.TimeUnit.MILLISECONDS)
         if (line == null) {
           destroy()
-          throw new ChildDied(f"bench child local[$cpus] sent no '$tag' within $timeoutSecs%.0fs")
+          throw new ChildDied(f"bench child local[$cpus] sent no '$tag' within $timeoutSecs%.0fs", cpus)
         }
         if (line == Eof) {
           lines.put(Eof) // keep the sentinel for any later read
-          throw new ChildDied(s"bench child local[$cpus] died before '$tag'")
+          throw new ChildDied(s"bench child local[$cpus] died before '$tag'", cpus)
         }
         if (line.startsWith(tag)) return line
       }
@@ -800,14 +809,18 @@ object Bench {
           // physically impossible). The two cheap high passes bracket
           // the expensive low pass; if they disagree >15% the ambient
           // moved mid-pair and the pair is rejected.
+          // record each completed pass IMMEDIATELY: if a later pass of
+          // the sandwich dies, the clean measurements already taken must
+          // survive into the minima/lone-survivor estimates
           val rh1 = high.pass(passBudget(highSecs.minOption))
+          rh1.foreach { case (s, _) => highSecs :+= s }
           val rl = low.pass(passBudget(lowSecs.minOption))
+          rl.foreach { case (s, _) => lowSecs :+= s }
           val rh2 = high.pass(passBudget(highSecs.minOption))
+          rh2.foreach { case (s, _) => highSecs :+= s }
           lastPairSecs = (System.nanoTime() - tp0) / 1e9
           val cn = canarySecs()
           val ecAfter = sampleCapacity()
-          rl.foreach { case (s, _) => lowSecs :+= s }
-          Seq(rh1, rh2).flatten.foreach { case (s, _) => highSecs :+= s }
           (rh1, rl, rh2) match {
             case (Some((h1, sth1)), Some((sl, stl)), Some((h2, sth2))) =>
               val (sh, sth) = if (h1 <= h2) (h1, sth1) else (h2, sth2)
@@ -853,8 +866,14 @@ object Bench {
         } catch {
           case e: ChildDied =>
             lastPairSecs = (System.nanoTime() - tp0) / 1e9
-            val which = if (!low.alive) "low" else "high"
+            // attribute by the cpus carried in the exception, never by a
+            // liveness probe (destroyForcibly is async — the dead child
+            // can still read alive and the healthy one get restarted)
+            val which = if (e.cpus == lowCpus) "low" else "high"
             handleDeath(which, e)
+            // passes recorded before the death still count
+            pushStats()
+            refreshDerived(prevCanary, bestCanary)
         }
       }
 

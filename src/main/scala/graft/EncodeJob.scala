@@ -121,19 +121,15 @@ object EncodeJob {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val admitted = Pipeline.readTokensAdmitted(spark, out, budgets, sources)
-      // the admitted cost, from the SAME pre-flight grain the reserve
-      // used (the reserve above already ran the aggregate; re-running it
-      // here is a second metadata-only job, still no payload I/O)
-      val chunks = Pipeline.readChunks(spark, out)
-      val pruned = if (sources.isEmpty) chunks
-        else chunks.filter(org.apache.spark.sql.functions.col("part_source").isin(sources: _*))
-      val stats = Admission.preflightStats(pruned).first()
+      // one pre-flight: the reserve's own aggregate comes back as the
+      // admitted cost — no second metadata job, no duplicated pruning
+      val (admitted, cost) =
+        Pipeline.readTokensAdmittedWithCost(spark, out, budgets, sources)
       opts.get("sink").foreach { sink =>
         admitted.write.mode("overwrite").parquet(sink)
       }
-      println(s"""{"admitted":true,"rows":${stats.getLong(0)},""" +
-        s""""tokens":${stats.getLong(1)},"encoded_bytes":${stats.getLong(2)},""" +
+      println(s"""{"admitted":true,"rows":${cost.rows},""" +
+        s""""tokens":${cost.tokens},"encoded_bytes":${cost.encodedBytes},""" +
         s""""sink":${opts.get("sink").map(jstr).getOrElse("null")},"out":${jstr(out)}}""")
       spark.stop()
     } catch {

@@ -29,10 +29,16 @@ object SparkEntry {
   private val chunkCache = scala.collection.concurrent.TrieMap
     .empty[(String, String, Long), org.apache.spark.sql.Dataset[graft.engine.EncodedChunk]]
   def chunksFor(s: SparkSession, dir: String, tokensPerChunk: Long)
-      : org.apache.spark.sql.Dataset[graft.engine.EncodedChunk] =
-    chunkCache.getOrElseUpdate((s.sparkContext.applicationId, dir, tokensPerChunk),
+      : org.apache.spark.sql.Dataset[graft.engine.EncodedChunk] = {
+    val appId = s.sparkContext.applicationId
+    // entries of other applications belong to stopped sessions — drop
+    // them so a long-lived JVM (test host, notebook) never pins dead
+    // sessions' persisted Datasets
+    chunkCache.keys.filter(_._1 != appId).foreach(chunkCache.remove)
+    chunkCache.getOrElseUpdate((appId, dir, tokensPerChunk),
       Encoder.encodeTable(tokenTable(s, dir), tokensPerChunk)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** At-rest variant for queries that demonstrate the parquet layout
     * itself (q27's pruned doc-index read): one Hive-partitioned write
@@ -42,6 +48,13 @@ object SparkEntry {
   def chunksDirFor(s: SparkSession, dir: String, tokensPerChunk: Long): String =
     chunkDirCache.getOrElseUpdate((dir, tokensPerChunk), {
       val tmp = java.nio.file.Files.createTempDirectory("graft-chunks-at-rest").toString
+      // scratch only — reclaim at JVM exit
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(tmp))
+      }
       chunksFor(s, dir, tokensPerChunk)
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("part_source")
@@ -1188,9 +1201,9 @@ object SparkEntry {
     "q46_pack_plan" ->
       """WITH plan AS (
         |  SELECT source, length(text) AS n_tok,
-        |    CAST(floor((sum(length(text)) OVER (PARTITION BY source
+        |    CAST((sum(length(text)) OVER (PARTITION BY source
         |        ORDER BY CAST(doc_id AS VARCHAR) ROWS UNBOUNDED PRECEDING)
-        |      - length(text)) / 2048.0) AS BIGINT) AS bin
+        |      - length(text)) // 2048 AS BIGINT) AS bin
         |  FROM documents)
         |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS bin_tokens
@@ -1200,9 +1213,9 @@ object SparkEntry {
       """WITH plan AS (
         |  SELECT source, length(text) AS n_tok,
         |    (SELECT sum(unicode(ch)) FROM unnest(string_split(text, '')) AS u(ch)) AS cp_sum,
-        |    CAST(floor((sum(length(text)) OVER (PARTITION BY source
+        |    CAST((sum(length(text)) OVER (PARTITION BY source
         |        ORDER BY CAST(doc_id AS VARCHAR) ROWS UNBOUNDED PRECEDING)
-        |      - length(text)) / 2048.0) AS BIGINT) AS bin
+        |      - length(text)) // 2048 AS BIGINT) AS bin
         |  FROM documents)
         |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tok,

@@ -56,12 +56,15 @@ object Packer {
     * the scan when `ds` comes straight from parquet).
     */
   def plan(ds: Dataset[TokenRow], binTokens: Long): DataFrame = {
+    require(binTokens > 0, s"binTokens must be positive, got $binTokens")
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ds.toDF()
       .select(col("doc_id"), col("source"), col("n_tok"))
       .withColumn("cum", sum(col("n_tok").cast("long")).over(w))
-      .withColumn("bin", ((col("cum") - col("n_tok")) / binTokens).cast("long"))
+      // integer `div`, not `/`: double division loses exactness past
+      // 2^53 cumulative tokens — the 10^15-token scale this targets
+      .withColumn("bin", expr(s"(cum - n_tok) div ${binTokens}L"))
   }
 
   /** Materialize packed examples: concatenated token arrays with doc

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Job wiring: resumable encode with per-chunk lineage.
@@ -80,10 +80,10 @@ object Pipeline {
   def adoptOrphans(spark: SparkSession, outDir: String): Long = {
     val chunksMeta =
       try {
-        spark.read
+        withMetadataDefaults(spark.read
           .schema(org.apache.spark.sql.Encoders.product[EncodedChunk].schema)
           .parquet(chunksPath(outDir))
-          .drop("doc_ids_enc", "sources_enc", "lengths_enc", "tokens_enc")
+          .drop("doc_ids_enc", "sources_enc", "lengths_enc", "tokens_enc"))
       } catch { case _: org.apache.spark.sql.AnalysisException => return 0L }
     val orphans = readLineage(spark, outDir) match {
       case Some(lin) =>
@@ -104,9 +104,31 @@ object Pipeline {
       Some(df)
     } catch { case _: org.apache.spark.sql.AnalysisException => None }
 
+  /** Schema evolution for chunks at rest: metadata columns added in
+    * later engine versions (input_split, token_cardinality, min_token /
+    * max_token) are filled with unknown/never-prune defaults when a
+    * directory written by an older version lacks them (absent column)
+    * or an explicit-schema read surfaced them as null. Payload columns
+    * are NOT defaulted — their absence still fails loudly. min_token =
+    * MinValue / max_token = MaxValue is the never-prune range (the
+    * inverse of the empty-chunk (MaxValue, MinValue) prune-always
+    * convention); token_cardinality -1 = unknown, consumers decode.
+    */
+  private def withMetadataDefaults(df: DataFrame): DataFrame = {
+    val defaults = Seq[(String, Column)](
+      ("input_split", lit("")),
+      ("token_cardinality", lit(-1)),
+      ("min_token", lit(Int.MinValue)),
+      ("max_token", lit(Int.MaxValue)))
+    defaults.foldLeft(df) { case (d, (name, dflt)) =>
+      if (!d.columns.contains(name)) d.withColumn(name, dflt)
+      else d.withColumn(name, coalesce(col(name), dflt))
+    }
+  }
+
   def readChunks(spark: SparkSession, outDir: String): Dataset[EncodedChunk] = {
     import spark.implicits._
-    spark.read.parquet(chunksPath(outDir)).as[EncodedChunk]
+    withMetadataDefaults(spark.read.parquet(chunksPath(outDir))).as[EncodedChunk]
   }
 
   /** Consumer read path: decode the chunks table back to token rows,
@@ -142,12 +164,25 @@ object Pipeline {
       budgets: Admission.Budgets,
       sources: Seq[String] = Nil,
       verifyChecksum: Boolean = true
-  ): Dataset[TokenRow] = {
+  ): Dataset[TokenRow] =
+    readTokensAdmittedWithCost(spark, outDir, budgets, sources, verifyChecksum)._1
+
+  /** [[readTokensAdmitted]] plus the cost the reservation admitted, so
+    * callers report it without a second metadata job (and without
+    * duplicating the source-pruning logic).
+    */
+  def readTokensAdmittedWithCost(
+      spark: SparkSession,
+      outDir: String,
+      budgets: Admission.Budgets,
+      sources: Seq[String] = Nil,
+      verifyChecksum: Boolean = true
+  ): (Dataset[TokenRow], Admission.AdmittedCost) = {
     val chunks = readChunks(spark, outDir)
     val pruned =
       if (sources.isEmpty) chunks
       else chunks.filter(col("part_source").isin(sources: _*))
-    Admission.decodeAdmitted(pruned, budgets, verifyChecksum)
+    Admission.decodeAdmittedWithCost(pruned, budgets, verifyChecksum)
   }
 
   /** Point-lookup decode: only chunks whose [min_doc_id, max_doc_id]

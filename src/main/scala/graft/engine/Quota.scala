@@ -104,11 +104,23 @@ object Admission {
     * (n_rows, n_tokens, encoded_bytes) — a refused query never touches,
     * let alone decodes, the payload.
     */
+  /** The cost a successful admission reserved — returned to callers so
+    * reporting it never re-runs the pre-flight aggregate.
+    */
+  final case class AdmittedCost(rows: Long, tokens: Long, encodedBytes: Long)
+
   def decodeAdmitted(
       chunks: Dataset[EncodedChunk],
       budgets: Budgets,
       verifyChecksum: Boolean = true
-  ): Dataset[TokenRow] = {
+  ): Dataset[TokenRow] =
+    decodeAdmittedWithCost(chunks, budgets, verifyChecksum)._1
+
+  def decodeAdmittedWithCost(
+      chunks: Dataset[EncodedChunk],
+      budgets: Budgets,
+      verifyChecksum: Boolean = true
+  ): (Dataset[TokenRow], AdmittedCost) = {
     val stats = preflightStats(chunks).first()
     // all-or-nothing across the three budgets: a refusal on a later leg
     // rolls back the earlier legs, so a refused query leaves every
@@ -126,6 +138,7 @@ object Admission {
       case e: ResourceExhausted if e.resource != "row_count" =>
         budgets.rows.release(stats.getLong(0)); throw e
     }
-    Decoder.decode(chunks, verifyChecksum)
+    (Decoder.decode(chunks, verifyChecksum),
+      AdmittedCost(stats.getLong(0), stats.getLong(1), stats.getLong(2)))
   }
 }

@@ -42,7 +42,12 @@ object Mix {
   def thresholdHex(f: Double): String =
     if (f >= 1.0) "g"
     else if (f <= 0.0) "00000000"
-    else f"${math.round(f * HashSpace)}%08x"
+    else {
+      // f just under 1.0 can still round to 2^32, which would format as
+      // 9 chars and lexicographically reject ~94% of keys
+      val r = math.round(f * HashSpace)
+      if (r >= HashSpace) "g" else f"$r%08x"
+    }
 
   /** The document's uniform sampling key: first 8 hex chars of
     * md5(id). Accepts any column type (cast to string first — an

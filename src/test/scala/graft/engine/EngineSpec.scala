@@ -389,6 +389,32 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     packed.foreach(p => assert(plan((p.source, p.bin)) == p.n_tok.toLong))
   }
 
+  test("chunks written by an older layout (missing metadata columns) still read") {
+    import spark.implicits._
+    val ds = Fixtures.tokenTable(spark, 200, seed = 21, medianLen = 64, maxLen = 512, partitions = 2)
+    val cur = tmpDir()
+    Pipeline.run(spark, ds, cur, tokensPerChunk = 16 * 1024, waves = 1)
+    // simulate a directory written before input_split/token_cardinality/
+    // min_token/max_token existed
+    val old = tmpDir()
+    spark.read.parquet(Pipeline.chunksPath(cur))
+      .drop("input_split", "token_cardinality", "min_token", "max_token")
+      .write.option("compression", "zstd")
+      .parquet(Pipeline.chunksPath(old))
+    // read/decode path: defaults fill in, every row decodes
+    val decoded = Pipeline.readTokens(spark, old).collect()
+    assert(decoded.length == 200)
+    // unknown token bounds must NEVER prune: a point lookup by value on
+    // the old layout decodes rather than skipping
+    val chunks = Pipeline.readChunks(spark, old).collect()
+    assert(chunks.forall(c => c.min_token == Int.MinValue && c.max_token == Int.MaxValue))
+    assert(chunks.forall(_.token_cardinality == -1))
+    // resume over the old dir: adoption/lineage derivation doesn't crash
+    // and records the unknown-split default
+    val rpt = Pipeline.run(spark, ds, old, tokensPerChunk = 16 * 1024, waves = 1)
+    assert(rpt.chunksSkipped > 0, "adopted old chunks must be resumable, not re-encoded")
+  }
+
   test("verify is exact under duplicate doc_ids") {
     import spark.implicits._
     // same doc_id twice with identical tokens: a naive doc_id join

@@ -20,6 +20,10 @@ class MixSpec extends AnyFunSuite {
     assert(Mix.thresholdHex(0.0) == "00000000") // < or = every hex string
     assert(Mix.thresholdHex(1.5) == "g")
     assert(Mix.thresholdHex(-0.1) == "00000000")
+    // f just under 1.0 rounds to 2^32: must clamp to accept-all, never
+    // format as a 9-char string (which would reject most of key space)
+    assert(Mix.thresholdHex(1.0 - 1e-12) == "g")
+    assert(Mix.thresholdHex(math.nextDown(1.0)) == "g")
   }
 
   test("realized fraction tracks the target within 2% absolute") {
