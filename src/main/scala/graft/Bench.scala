@@ -605,6 +605,27 @@ object Bench {
 
       val tokensPerChunk = graft.engine.Chunker.DefaultTokensPerChunk
 
+      // Cross-run per-level best pass times, persisted beside the
+      // fixtures they were measured on (same deterministic job, same
+      // host). Detectors (a)-(f) are all RELATIVE to the current run;
+      // the sandbox also has sustained capacity-limited phases where
+      // steal, canary, drift and consistency all read clean but both
+      // levels run far above their best — and contention hits the wide
+      // level harder than the narrow one, so a pair measured there
+      // UNDERSTATES efficiency (observed: detector-clean 0.68-0.71 in a
+      // window whose passes ran 1.4-1.6x the recorded best, vs 0.825 in
+      // a clean window). A pair is only clean if each level is within
+      // 1.35x of the best ever measured for that level (storms only
+      // slow passes, so the minimum converges to the clean time).
+      val bestPassFile = new java.io.File(base, "best_pass.json")
+      val histBest: Map[Int, Double] =
+        if (!bestPassFile.isFile) Map.empty
+        else try {
+          val s = new String(java.nio.file.Files.readAllBytes(bestPassFile.toPath), "UTF-8")
+          """"(\d+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(s)
+            .map(m => m.group(1).toInt -> m.group(2).toDouble).toMap
+        } catch { case _: Throwable => Map.empty }
+
       // calm-launch gate: storms come in 20-40 min waves with calm
       // gaps — burn a bounded slice of budget waiting out an active
       // storm rather than launching two warmups (or a 300s pair) into
@@ -722,9 +743,22 @@ object Bench {
         if (pairRecords.nonEmpty) {
           val costs = pairRecords.map { case (a, b, _) => a + (highCpus.toDouble / lowCpus) * b }
           val bestCost = costs.min
+          // per-level floor: best ever measured for this corpus on this
+          // host (cross-run file + this run), see histBest above
+          val floorLow = (histBest.get(lowCpus).toSeq ++ lowSecs).min
+          val floorHigh = (histBest.get(highCpus).toSeq ++ highSecs).min
+          def nearBest(a: Double, b: Double) =
+            a <= 1.35 * floorLow && b <= 1.35 * floorHigh
           val clean = pairRecords.zip(costs).collect {
-            case ((a, b, baseOk), c) if baseOk && c <= 1.3 * bestCost => (a, b)
+            case ((a, b, baseOk), c) if baseOk && c <= 1.3 * bestCost && nearBest(a, b) => (a, b)
           }
+          // pairs every relative detector passed but the historical
+          // floor rejected: the whole window was capacity-degraded
+          val floorRejected = pairRecords.zip(costs).exists {
+            case ((a, b, baseOk), c) => baseOk && c <= 1.3 * bestCost && !nearBest(a, b)
+          }
+          if (floorRejected) setEnc("pairs_rejected_below_best" -> "true")
+          else encFields.remove("pairs_rejected_below_best")
           setEnc("clean_passes" -> clean.length.toString)
           if (clean.nonEmpty) {
             val (pl, ph) = clean.minBy { case (a, b) => a + (highCpus.toDouble / lowCpus) * b }
@@ -905,6 +939,17 @@ object Bench {
 
       if (lowAlive) low.quit()
       if (highAlive) high.quit()
+      // fold this run's minima into the cross-run best-pass file
+      try {
+        val entries = histBest ++
+          (histBest.get(lowCpus).toSeq ++ lowSecs).minOption.map(lowCpus -> _) ++
+          (histBest.get(highCpus).toSeq ++ highSecs).minOption.map(highCpus -> _)
+        if (entries.nonEmpty)
+          java.nio.file.Files.write(bestPassFile.toPath,
+            entries.toSeq.sortBy(_._1)
+              .map { case (c, v) => f""""$c":$v%.2f""" }
+              .mkString("{", ",", "}").getBytes("UTF-8"))
+      } catch { case _: Throwable => }
       val complete = encFields.contains("scaling_efficiency") &&
         encFields.contains("bytes_per_token") && !encFields.contains("fatal_child")
       setEnc("status" -> jstr(if (complete) "complete" else "partial"))
