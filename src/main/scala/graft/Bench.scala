@@ -41,6 +41,44 @@ object Bench {
     "java.base/sun.security.action", "java.base/sun.util.calendar"
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
+  /** Pure clean-pair selection — the honesty core, extracted so it is
+    * unit-testable (BenchSelectSpec). `pairs` are (secsLow, secsHigh,
+    * baseDetectorsOk) in measurement order; `ratio` = highCpus/lowCpus.
+    * A pair is clean iff its base detectors passed, its total core-cost
+    * (secsLow + ratio·secsHigh) is within 1.3× of the best pair cost —
+    * recomputed against the FINAL best, so an early stormy pair is
+    * never grandfathered clean — and each level is within 1.35× of its
+    * floor (the best pass ever measured for that level, cross-run).
+    * Returns (clean pairs, true when a base-clean pair was rejected
+    * ONLY by the floor — the capacity-degraded-window signal).
+    */
+  def selectCleanPairs(
+      pairs: Seq[(Double, Double, Boolean)],
+      ratio: Double,
+      floorLow: Double,
+      floorHigh: Double
+  ): (Seq[(Double, Double)], Boolean) = {
+    if (pairs.isEmpty) return (Nil, false)
+    val costs = pairs.map { case (a, b, _) => a + ratio * b }
+    val bestCost = costs.min
+    def nearBest(a: Double, b: Double) = a <= 1.35 * floorLow && b <= 1.35 * floorHigh
+    val clean = pairs.zip(costs).collect {
+      case ((a, b, ok), c) if ok && c <= 1.3 * bestCost && nearBest(a, b) => (a, b)
+    }
+    val floorRejected = pairs.zip(costs).exists {
+      case ((a, b, ok), c) => ok && c <= 1.3 * bestCost && !nearBest(a, b)
+    }
+    (clean, floorRejected)
+  }
+
+  /** The headline estimate from the clean set: efficiency of the pair
+    * with the LEAST total core-cost — the least-contended sandwich,
+    * never the most flattering one.
+    */
+  def pairedEfficiency(clean: Seq[(Double, Double)], ratio: Double): Option[Double] =
+    clean.minByOption { case (a, b) => a + ratio * b }
+      .map { case (a, b) => (a / b) / ratio }
+
   /** RAM-backed scratch when available: local[8] vs local[32] share ONE
     * sandbox disk, so disk-bound shuffle/output phases cannot speed up
     * 4x and would mask CPU scaling — tmpfs is the honest local proxy
@@ -741,28 +779,20 @@ object Bench {
         // CURRENT best pair cost (a stormy first pair is never
         // permanently "clean" just because nothing better existed yet)
         if (pairRecords.nonEmpty) {
-          val costs = pairRecords.map { case (a, b, _) => a + (highCpus.toDouble / lowCpus) * b }
-          val bestCost = costs.min
+          val ratio = highCpus.toDouble / lowCpus
           // per-level floor: best ever measured for this corpus on this
           // host (cross-run file + this run), see histBest above
           val floorLow = (histBest.get(lowCpus).toSeq ++ lowSecs).min
           val floorHigh = (histBest.get(highCpus).toSeq ++ highSecs).min
-          def nearBest(a: Double, b: Double) =
-            a <= 1.35 * floorLow && b <= 1.35 * floorHigh
-          val clean = pairRecords.zip(costs).collect {
-            case ((a, b, baseOk), c) if baseOk && c <= 1.3 * bestCost && nearBest(a, b) => (a, b)
-          }
+          val (clean, floorRejected) =
+            selectCleanPairs(pairRecords, ratio, floorLow, floorHigh)
           // pairs every relative detector passed but the historical
           // floor rejected: the whole window was capacity-degraded
-          val floorRejected = pairRecords.zip(costs).exists {
-            case ((a, b, baseOk), c) => baseOk && c <= 1.3 * bestCost && !nearBest(a, b)
-          }
           if (floorRejected) setEnc("pairs_rejected_below_best" -> "true")
           else encFields.remove("pairs_rejected_below_best")
           setEnc("clean_passes" -> clean.length.toString)
           if (clean.nonEmpty) {
-            val (pl, ph) = clean.minBy { case (a, b) => a + (highCpus.toDouble / lowCpus) * b }
-            val paired = (pl / ph) / (highCpus.toDouble / lowCpus)
+            val paired = pairedEfficiency(clean, ratio).get
             setEnc("scaling_efficiency_paired" -> f"$paired%.3f")
           } else
             // a pair judged clean mid-run can be un-cleaned by the final
