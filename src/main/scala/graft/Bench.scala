@@ -31,6 +31,13 @@ import graft.engine.{Encoder, Fixtures, TokenRow}
   */
 object Bench {
 
+  /** Generation of the encode path for the cross-run best-pass floor
+    * (detector (g)) — bump in the same commit as any intentional
+    * encode-cost change so stale floors never outlive the code that
+    * set them.
+    */
+  final val FloorVersion = 1
+
   private val addOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
     "java.base/java.lang.reflect", "java.base/java.io",
@@ -117,13 +124,7 @@ object Bench {
     s
   }
 
-  private def rmTree(p: String): Unit = {
-    def walk(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(walk))
-      f.delete()
-    }
-    walk(new java.io.File(p))
-  }
+  private def rmTree(p: String): Unit = graft.engine.Verifier.rmTree(p)
 
   /** Single-thread CPU canary: fixed busy loop, returns seconds. The
     * host shows periods of 3-10x CPU throttling with near-zero reported
@@ -242,8 +243,7 @@ object Bench {
       try {
         spark.sparkContext.setJobGroup(tag, tag, interruptOnCancel = true)
         body
-        state.compareAndSet(0, 1)
-        state.get == 1
+        state.compareAndSet(0, 1) // true iff the watchdog never fired
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench-child] local[$cpus] $tag failed: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
@@ -655,7 +655,12 @@ object Bench {
       // a clean window). A pair is only clean if each level is within
       // 1.35x of the best ever measured for that level (storms only
       // slow passes, so the minimum converges to the clean time).
-      val bestPassFile = new java.io.File(base, "best_pass.json")
+      // FloorVersion keys the floor file to the encode-path generation:
+      // bump it in the same commit as any INTENTIONAL encode-cost change
+      // (new codec work, different write layout), else stale fast floors
+      // would floor-reject every pair of the slower-but-correct build
+      // forever and misreport a code property as permanent bad weather.
+      val bestPassFile = new java.io.File(base, s"best_pass_v$FloorVersion.json")
       val histBest: Map[Int, Double] =
         if (!bestPassFile.isFile) Map.empty
         else try {
@@ -977,7 +982,12 @@ object Bench {
         if (entries.nonEmpty)
           java.nio.file.Files.write(bestPassFile.toPath,
             entries.toSeq.sortBy(_._1)
-              .map { case (c, v) => f""""$c":$v%.2f""" }
+              // Locale.ROOT: a comma-decimal default locale would emit
+              // 76,35 and the reader would silently parse floor=76
+              .map { case (c, v) =>
+                String.format(java.util.Locale.ROOT, "\"%d\":%.2f",
+                  Int.box(c), Double.box(v))
+              }
               .mkString("{", ",", "}").getBytes("UTF-8"))
       } catch { case _: Throwable => }
       val complete = encFields.contains("scaling_efficiency") &&

@@ -49,12 +49,7 @@ object SparkEntry {
     chunkDirCache.getOrElseUpdate((dir, tokensPerChunk), {
       val tmp = java.nio.file.Files.createTempDirectory("graft-chunks-at-rest").toString
       // scratch only — reclaim at JVM exit
-      sys.addShutdownHook {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(new java.io.File(tmp))
-      }
+      sys.addShutdownHook(graft.engine.Verifier.rmTree(tmp))
       chunksFor(s, dir, tokensPerChunk)
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("part_source")

@@ -98,17 +98,17 @@ object Admission {
         coalesce(sum("n_tokens"), lit(0L)).cast("long").as("token_count"),
         coalesce(sum("encoded_bytes"), lit(0L)).cast("long").as("encoded_bytes"))
 
+  /** The cost a successful admission reserved — returned to callers so
+    * reporting it never re-runs the pre-flight aggregate.
+    */
+  final case class AdmittedCost(rows: Long, tokens: Long, encodedBytes: Long)
+
   /** Pre-flight the cost of decoding `chunks` against `budgets`; returns
     * the decode Dataset only when every budget admits the reservation.
     * The pre-flight aggregate reads ONLY small metadata columns
     * (n_rows, n_tokens, encoded_bytes) — a refused query never touches,
     * let alone decodes, the payload.
     */
-  /** The cost a successful admission reserved — returned to callers so
-    * reporting it never re-runs the pre-flight aggregate.
-    */
-  final case class AdmittedCost(rows: Long, tokens: Long, encodedBytes: Long)
-
   def decodeAdmitted(
       chunks: Dataset[EncodedChunk],
       budgets: Budgets,

@@ -76,6 +76,15 @@ object Verifier {
     )
   }
 
+  /** Recursive local-filesystem delete (scratch dirs only). */
+  def rmTree(path: String): Unit = {
+    def walk(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(walk))
+      f.delete(); ()
+    }
+    walk(new java.io.File(path))
+  }
+
   /** Directory byte size (recursive) — for the size-vs-reference bar. */
   def dirBytes(path: String): Long = {
     val root = new java.io.File(path)

@@ -412,7 +412,9 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // resume over the old dir: adoption/lineage derivation doesn't crash
     // and records the unknown-split default
     val rpt = Pipeline.run(spark, ds, old, tokensPerChunk = 16 * 1024, waves = 1)
-    assert(rpt.chunksSkipped > 0, "adopted old chunks must be resumable, not re-encoded")
+    assert(rpt.chunksSkipped > 0, "adopted old chunks must be resumable")
+    assert(rpt.chunksEncoded == 0,
+      "resume over an adopted old dir must re-encode nothing (duplicate append)")
   }
 
   test("verify is exact under duplicate doc_ids") {
