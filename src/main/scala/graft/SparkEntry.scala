@@ -617,6 +617,50 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // float-COLUMN encode round-trip over the embeddings table: vectors
+    // batch per partition into ~64k-float chunks, encode with the
+    // zstd-aware float codec (codec/FloatCodec.scala — BYTE_STREAM_SPLIT
+    // planes vs plain), decode, and verify BIT-identical in the kernel
+    // (floatToRawIntBits — NaN payloads and signed zeros included). Any
+    // mismatch lands in n_mismatch and fails the oracle's structural 0;
+    // the engine's per-row invariant extended to float payloads.
+    "q51_embed_roundtrip" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          var nVecs = 0L; var nFloats = 0L; var mism = 0L
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Float]
+          def flush(): Unit = if (buf.nonEmpty) {
+            val a = buf.toArray
+            val (_, enc) = graft.codec.FloatCodec.encodeAutoZstdAware(a)
+            val dec = graft.codec.FloatCodec.decode(enc)
+            if (dec.length != a.length) mism += 1
+            else {
+              var i = 0
+              while (i < a.length) {
+                if (java.lang.Float.floatToRawIntBits(dec(i)) !=
+                    java.lang.Float.floatToRawIntBits(a(i))) mism += 1
+                i += 1
+              }
+            }
+            nFloats += a.length
+            buf.clear()
+          }
+          it.foreach { case (_, v) =>
+            nVecs += 1; buf ++= v
+            if (buf.length >= 64 * 1024) flush()
+          }
+          flush()
+          Iterator.single((nVecs, nFloats, mism))
+        }
+        .toDF("n_vecs", "n_floats", "n_mismatch")
+        .agg(sum("n_vecs").as("n_vecs"), sum("n_floats").as("n_floats"),
+          sum("n_mismatch").as("n_mismatch"))
+    }),
+
     // ANN exact-oracle variant of q30: embeddings quantized to integer
     // milli-units (round(x*1000) — exact, engine-portable longs), probe
     // top-5 ranked by INTEGER dot product with vec_id tiebreak. Every
@@ -1255,6 +1299,14 @@ object SparkEntry {
         |SELECT tr.doc_id, CAST(count(DISTINCT tr.s) AS BIGINT) AS n_shared_shingles
         |FROM tr JOIN bench ON tr.s = bench.s
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    // counts from the source table; n_mismatch is structurally zero —
+    // any decode bit-divergence on the Spark side breaks the hash
+    "q51_embed_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(len(embedding)) AS BIGINT) AS n_floats,
+        |  CAST(0 AS BIGINT) AS n_mismatch
+        |FROM embeddings""".stripMargin,
 
     // CAST(x AS DOUBLE) BEFORE the *1000: DuckDB would otherwise compute
     // float32 * int in float32 while Spark widens float -> double, and
