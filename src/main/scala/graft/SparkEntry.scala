@@ -617,6 +617,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // COMPACTION: two overlapping encoded tables (slices of the src0/
+    // src1 token table) fold into one deduplicated table via
+    // Pipeline.compact (the reference's multi-block merge with
+    // duplicate-series dedup, convert_test.go:641-759). The oracle
+    // checks the dedup-union: every doc of the two sources exactly
+    // once, with its full token count — an overlap doc appearing twice
+    // or dropped breaks both counts.
+    "q52_compact_merge" -> ((s, dir) => {
+      val base = tokenTable(s, dir).filter(col("source").isin("src0", "src1"))
+      val sliceA = base.filter(expr("CAST(doc_id AS BIGINT) % 3 <= 1"))
+      val sliceB = base.filter(expr("CAST(doc_id AS BIGINT) % 3 >= 1"))
+      def scratch(tag: String): String = {
+        val t = java.nio.file.Files.createTempDirectory(s"graft-q52-$tag").toString
+        sys.addShutdownHook(graft.engine.Verifier.rmTree(t))
+        t
+      }
+      val dirA = scratch("a"); val dirB = scratch("b"); val out = scratch("out")
+      graft.engine.Pipeline.run(s, sliceA, dirA, tokensPerChunk = 262144, waves = 1)
+      graft.engine.Pipeline.run(s, sliceB, dirB, tokensPerChunk = 262144, waves = 1)
+      graft.engine.Pipeline.compact(s, Seq(dirA, dirB), out, tokensPerChunk = 262144, waves = 1)
+      graft.engine.Pipeline.readTokens(s, out)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok").cast("long")).as("n_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // float-COLUMN encode round-trip over the embeddings table: vectors
     // batch per partition into ~64k-float chunks, encode with the
     // zstd-aware float codec (codec/FloatCodec.scala — BYTE_STREAM_SPLIT
@@ -1299,6 +1325,14 @@ object SparkEntry {
         |SELECT tr.doc_id, CAST(count(DISTINCT tr.s) AS BIGINT) AS n_shared_shingles
         |FROM tr JOIN bench ON tr.s = bench.s
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    // dedup-union of the two slices = every src0/src1 doc exactly once
+    // (n_tok == codepoint count == DuckDB length(); see q46)
+    "q52_compact_merge" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_tokens
+        |FROM documents WHERE source IN ('src0', 'src1')
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // counts from the source table; n_mismatch is structurally zero —
     // any decode bit-divergence on the Spark side breaks the hash

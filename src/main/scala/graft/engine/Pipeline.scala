@@ -185,6 +185,47 @@ object Pipeline {
     Admission.decodeAdmittedWithCost(pruned, budgets, verifyChecksum)
   }
 
+  /** Compact one or more chunks tables into a NEW deduplicated table —
+    * the maintenance analog of the reference's multi-block conversion
+    * with duplicate-series merge (reference: convert/convert.go
+    * `ConvertTSDBBlock` over several blocks; convert_test.go:641-759
+    * asserts duplicated series across blocks merge). Streaming ingest
+    * accumulates a wave per micro-batch and incremental backfills
+    * accumulate whole directories; compaction folds them into one table
+    * of full-size chunks.
+    *
+    * Duplicate doc_ids (within or across inputs) keep ONE deterministic
+    * winner — min by (source, n_tok, content checksum) — so the output
+    * is a pure function of the input SET, independent of directory
+    * order, partitioning or cluster size (the same idempotence
+    * discipline as chunk ids and resume).
+    *
+    * Scale shape: inputs are decoded once (chunk-parallel); dedup is
+    * one shuffle on doc_id with map-side combine (reduceGroups); then
+    * the standard encode pipeline (one payload shuffle + write).
+    */
+  def compact(
+      spark: SparkSession,
+      inDirs: Seq[String],
+      outDir: String,
+      tokensPerChunk: Long = Chunker.DefaultTokensPerChunk,
+      waves: Int = 4
+  ): EncodeReport = {
+    import spark.implicits._
+    require(inDirs.nonEmpty, "compact needs at least one input dir")
+    val all = inDirs.map(d => readTokens(spark, d)).reduce(_ union _)
+    val winners = all
+      .groupByKey(_.doc_id)
+      .reduceGroups { (a, b) =>
+        val ka = (a.source, a.n_tok, Checksum.ofTokens(a.tokens, a.n_tok))
+        val kb = (b.source, b.n_tok, Checksum.ofTokens(b.tokens, b.n_tok))
+        if (Ordering[(String, Int, Long)].lteq(ka, kb)) a else b
+      }
+      .map(_._2)
+    run(spark, winners, outDir, tokensPerChunk, waves,
+      inputSplit = s"compact:${inDirs.sorted.mkString(",")}")
+  }
+
   /** Point-lookup decode: only chunks whose [min_doc_id, max_doc_id]
     * covers the key are decoded — the reference's precise row-range
     * pruning from page min/max statistics re-expressed at chunk grain

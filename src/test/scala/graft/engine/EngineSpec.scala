@@ -417,6 +417,32 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "resume over an adopted old dir must re-encode nothing (duplicate append)")
   }
 
+  test("compact: overlapping dirs merge deduplicated, independent of input order") {
+    import spark.implicits._
+    val ds = Fixtures.tokenTable(spark, 300, seed = 5, medianLen = 64, maxLen = 512, partitions = 2)
+    val a = ds.filter(_.doc_id < "doc_000000000200")   // docs 0-199
+    val b = ds.filter(_.doc_id >= "doc_000000000100")  // docs 100-299 (100 overlap)
+    val dirA = tmpDir(); val dirB = tmpDir()
+    Pipeline.run(spark, a, dirA, tokensPerChunk = 16 * 1024, waves = 1)
+    Pipeline.run(spark, b, dirB, tokensPerChunk = 16 * 1024, waves = 1)
+
+    val out = tmpDir()
+    Pipeline.compact(spark, Seq(dirA, dirB), out, tokensPerChunk = 16 * 1024, waves = 1)
+    val dec = Pipeline.readTokens(spark, out).collect()
+    assert(dec.length == 300, s"dedup-union must have every doc once, got ${dec.length}")
+    val orig = ds.collect().map(r => r.doc_id -> r).toMap
+    dec.foreach { r =>
+      assert(r.tokens.sameElements(orig(r.doc_id).tokens), s"content mismatch at ${r.doc_id}")
+    }
+    // pure function of the input SET: reversed dir order yields the
+    // identical chunk table (ids, checksums, bounds)
+    val out2 = tmpDir()
+    Pipeline.compact(spark, Seq(dirB, dirA), out2, tokensPerChunk = 16 * 1024, waves = 1)
+    def sig(d: String) = Pipeline.readChunks(spark, d).collect()
+      .map(c => (c.chunk_id, c.checksum, c.min_doc_id, c.max_doc_id)).sortBy(_._1).toSeq
+    assert(sig(out) == sig(out2), "compaction must not depend on input dir order")
+  }
+
   test("verify is exact under duplicate doc_ids") {
     import spark.implicits._
     // same doc_id twice with identical tokens: a naive doc_id join
