@@ -44,12 +44,21 @@ object SparkEntry {
     * itself (q27's pruned doc-index read): one Hive-partitioned write
     * per (dir, tokensPerChunk) per JVM, reused across queries.
     */
+  /** One JVM-wide scratch root with a single cleanup hook; queries that
+    * need at-rest scratch (q27's partitioned write, q52's compaction
+    * inputs) create subdirectories here instead of registering one
+    * shutdown hook per invocation.
+    */
+  lazy val scratchRoot: java.nio.file.Path = {
+    val r = java.nio.file.Files.createTempDirectory("graft-scratch")
+    sys.addShutdownHook(graft.engine.Verifier.rmTree(r.toString))
+    r
+  }
+
   private val chunkDirCache = scala.collection.concurrent.TrieMap.empty[(String, Long), String]
   def chunksDirFor(s: SparkSession, dir: String, tokensPerChunk: Long): String =
     chunkDirCache.getOrElseUpdate((dir, tokensPerChunk), {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-chunks-at-rest").toString
-      // scratch only — reclaim at JVM exit
-      sys.addShutdownHook(graft.engine.Verifier.rmTree(tmp))
+      val tmp = java.nio.file.Files.createTempDirectory(scratchRoot, "chunks-at-rest").toString
       chunksFor(s, dir, tokensPerChunk)
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("part_source")
@@ -628,12 +637,10 @@ object SparkEntry {
       val base = tokenTable(s, dir).filter(col("source").isin("src0", "src1"))
       val sliceA = base.filter(expr("CAST(doc_id AS BIGINT) % 3 <= 1"))
       val sliceB = base.filter(expr("CAST(doc_id AS BIGINT) % 3 >= 1"))
-      def scratch(tag: String): String = {
-        val t = java.nio.file.Files.createTempDirectory(s"graft-q52-$tag").toString
-        sys.addShutdownHook(graft.engine.Verifier.rmTree(t))
-        t
-      }
-      val dirA = scratch("a"); val dirB = scratch("b"); val out = scratch("out")
+      // fresh subdirs under ONE hook-registered scratch root, so
+      // repeated invocations never accumulate shutdown hooks
+      val root = java.nio.file.Files.createTempDirectory(scratchRoot, "q52")
+      val dirA = s"$root/a"; val dirB = s"$root/b"; val out = s"$root/out"
       graft.engine.Pipeline.run(s, sliceA, dirA, tokensPerChunk = 262144, waves = 1)
       graft.engine.Pipeline.run(s, sliceB, dirB, tokensPerChunk = 262144, waves = 1)
       graft.engine.Pipeline.compact(s, Seq(dirA, dirB), out, tokensPerChunk = 262144, waves = 1)

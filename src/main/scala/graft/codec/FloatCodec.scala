@@ -107,20 +107,27 @@ object FloatCodec {
     * plane decomposition exists to help.
     */
   def encodeAutoZstdAware(a: Array[Float], from: Int, n: Int): (FloatCodec, Array[Byte]) = {
-    val winner =
-      if (n < 1024) Split // too small for a meaningful trial; planes never hurt
-      else {
-        val tN = math.min(n, Selector.TrialValues)
-        val tFrom = from + (n - tN) / 2
-        all.minBy { c =>
-          val sink = new ByteSink(4 * tN + 16)
-          c.encode(a, tFrom, tN, sink)
-          Selector.zstdSize(sink.result())
-        }
-      }
-    val out = new ByteSink(4 * n + 16)
-    winner.encode(a, from, n, out)
-    (winner, out.result())
+    if (n < 1024) { // too small for a meaningful trial; planes never hurt
+      val out = new ByteSink(4 * n + 16)
+      Split.encode(a, from, n, out)
+      return (Split, out.result())
+    }
+    val tN = math.min(n, Selector.TrialValues)
+    val tFrom = from + (n - tN) / 2
+    val trials = all.map { c =>
+      val sink = new ByteSink(4 * tN + 16)
+      c.encode(a, tFrom, tN, sink)
+      (c, sink.result())
+    }
+    val (winner, trialBytes) = trials.minBy { case (_, b) => Selector.zstdSize(b) }
+    // the common q51 case batches at exactly TrialValues floats: the
+    // winning trial already IS the full encoding — don't encode thrice
+    if (tFrom == from && tN == n) (winner, trialBytes)
+    else {
+      val out = new ByteSink(4 * n + 16)
+      winner.encode(a, from, n, out)
+      (winner, out.result())
+    }
   }
 
   def encodeAutoZstdAware(a: Array[Float]): (FloatCodec, Array[Byte]) =

@@ -28,7 +28,13 @@ object Pipeline {
       rows: Long,
       tokens: Long,
       rawBytes: Long,
-      encodedBytes: Long
+      encodedBytes: Long,
+      /** rows discarded by [[compact]]'s duplicate-doc_id dedup (0 for
+        * plain encode runs) — surfaced, never silent: the engine's
+        * verify contract is multiset-exact, so a caller compacting a
+        * table with legitimate duplicate doc_ids must see the loss.
+        */
+      rowsDropped: Long = 0L
   )
 
   def chunksPath(outDir: String) = s"$outDir/chunks"
@@ -213,17 +219,32 @@ object Pipeline {
   ): EncodeReport = {
     import spark.implicits._
     require(inDirs.nonEmpty, "compact needs at least one input dir")
+    // the target must be FRESH: run()'s resume semantics APPEND, so an
+    // in-place or reused target would silently double every doc
+    def canon(p: String) = try new java.io.File(p).getCanonicalPath catch { case _: Throwable => p }
+    require(!inDirs.map(canon).contains(canon(outDir)),
+      s"compact target $outDir must not be one of its inputs (in-place compaction would read while appending)")
+    require(!fsOf(spark, chunksPath(outDir)).exists(new org.apache.hadoop.fs.Path(chunksPath(outDir))),
+      s"compact target $outDir already holds a chunks table; compaction writes a NEW table")
+    // persist the decoded union: the count below plus run()'s planning
+    // pre-passes + payload staging would otherwise re-decode every
+    // input chunk once per pass
     val all = inDirs.map(d => readTokens(spark, d)).reduce(_ union _)
-    val winners = all
-      .groupByKey(_.doc_id)
-      .reduceGroups { (a, b) =>
-        val ka = (a.source, a.n_tok, Checksum.ofTokens(a.tokens, a.n_tok))
-        val kb = (b.source, b.n_tok, Checksum.ofTokens(b.tokens, b.n_tok))
-        if (Ordering[(String, Int, Long)].lteq(ka, kb)) a else b
-      }
-      .map(_._2)
-    run(spark, winners, outDir, tokensPerChunk, waves,
-      inputSplit = s"compact:${inDirs.sorted.mkString(",")}")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val inputRows = all.count()
+      // key each row ONCE (content checksum is O(n_tok)); the combiner
+      // then compares precomputed keys however many inputs collide
+      val winners = all
+        .map(r => ((r.source, r.n_tok, Checksum.ofTokens(r.tokens, r.n_tok)), r))
+        .groupByKey(_._2.doc_id)
+        .reduceGroups((x, y) =>
+          if (Ordering[(String, Int, Long)].lteq(x._1, y._1)) x else y)
+        .map(_._2._2)
+      val rpt = run(spark, winners, outDir, tokensPerChunk, waves,
+        inputSplit = s"compact:${inDirs.sorted.mkString(",")}")
+      rpt.copy(rowsDropped = inputRows - rpt.rows)
+    } finally { all.unpersist(); () }
   }
 
   /** Point-lookup decode: only chunks whose [min_doc_id, max_doc_id]

@@ -4,18 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
 
 class FloatCodecSpec extends AnyFunSuite {
-
-  /** Deterministic property-check driver (no scalatestplus bridge in
-    * the offline cache) — same scheme as IntCodecSpec.forAll.
-    */
-  def forAll[A](gen: Gen[A], n: Int = 150)(f: A => Unit): Unit = {
-    var i = 0
-    while (i < n) {
-      gen.apply(Gen.Parameters.default.withSize(1 + (i * 7) % 200),
-        org.scalacheck.rng.Seed(42L + i)).foreach(f)
-      i += 1
-    }
-  }
+  import PropCheck.forAll
 
   private def bitsEqual(a: Array[Float], b: Array[Float]): Boolean =
     a.length == b.length && a.indices.forall(i =>

@@ -9,17 +9,7 @@ import org.scalacheck.Gen
   */
 class IntCodecSpec extends AnyFunSuite {
 
-  /** Deterministic property-check driver (no scalatestplus bridge in the
-    * offline cache): samples `gen` at seeds 42..42+n with growing sizes.
-    */
-  def forAll[A](gen: Gen[A], n: Int = 150)(f: A => Unit): Unit = {
-    var i = 0
-    while (i < n) {
-      gen.apply(Gen.Parameters.default.withSize(1 + (i * 7) % 200),
-        org.scalacheck.rng.Seed(42L + i)).foreach(f)
-      i += 1
-    }
-  }
+  import PropCheck.forAll
 
   val cases: Seq[(String, Array[Int])] = Seq(
     "empty" -> Array.emptyIntArray,
