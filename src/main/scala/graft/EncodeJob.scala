@@ -13,6 +13,11 @@ import graft.engine.{Admission, Chunker, Pipeline, Quota, ResourceExhausted, Tok
   * // consumer read paths over an existing encoded table:
   * spark-submit ... mode=lookup out=<output-dir> doc=<doc_id>  // stat-pruned point decode
   * spark-submit ... mode=index  out=<output-dir>               // token-payload-free doc index
+  * spark-submit ... mode=compact in=<dir1,dir2,...> out=<NEW-dir> \
+  *   [tokensPerChunk=4194304] [waves=16]
+  *   // fold several encoded tables (streaming micro-batch
+  *   // accumulations, backfills) into one deduplicated table —
+  *   // refuses in-place or already-populated targets
   * spark-submit ... mode=read   out=<output-dir> \
   *   [sources=src1,src2] [maxRows=N] [maxTokens=N] [maxBytes=N] [sink=<path>]
   *   // admission-controlled bulk decode: cost pre-flighted from chunk
@@ -45,6 +50,7 @@ object EncodeJob {
       case "lookup" => return readMode(opts, lookup = true)
       case "index" => return readMode(opts, lookup = false)
       case "read" => return readBulkMode(opts)
+      case "compact" => return compactMode(opts)
       case "encode" => ()
       case m => throw new IllegalArgumentException(s"unknown mode=$m")
     }
@@ -139,6 +145,33 @@ object EncodeJob {
         spark.stop()
         sys.exit(3)
     }
+  }
+
+  /** Maintenance: fold several encoded tables into one deduplicated
+    * table ([[Pipeline.compact]]); rowsDropped surfaces the duplicate
+    * rows the dedup discarded.
+    */
+  private def compactMode(opts: Map[String, String]): Unit = {
+    val inDirs = opts("in").split(",").toSeq.filter(_.nonEmpty)
+    val out = opts("out")
+    val tokensPerChunk = opts.getOrElse("tokensPerChunk",
+      Chunker.DefaultTokensPerChunk.toString).toLong
+    val waves = opts.getOrElse("waves", "16").toInt
+    val spark = SparkSession.builder()
+      .appName("graft-compact")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val r = Pipeline.compact(spark, inDirs, out, tokensPerChunk, waves)
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(
+      s"""{"job":"graft-compact","in":[${inDirs.map(jstr).mkString(",")}],""" +
+        s""""out":${jstr(out)},"chunksEncoded":${r.chunksEncoded},""" +
+        s""""rows":${r.rows},"rowsDropped":${r.rowsDropped},"tokens":${r.tokens},""" +
+        f""""encodedBytes":${r.encodedBytes},"compactSecs":$secs%.2f}""")
+    spark.stop()
   }
 
   /** Consumer read paths: stat-pruned point lookup / doc index. */
