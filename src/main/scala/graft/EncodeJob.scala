@@ -157,6 +157,10 @@ object EncodeJob {
     val tokensPerChunk = opts.getOrElse("tokensPerChunk",
       Chunker.DefaultTokensPerChunk.toString).toLong
     val waves = opts.getOrElse("waves", "16").toInt
+    // verify defaults ON, like mode=encode — compaction is the path
+    // whose documented purpose is retiring the input directories, so a
+    // corrupted re-encode must fail HERE, while the sources still exist
+    val doVerify = opts.getOrElse("verify", "true").toBoolean
     val spark = SparkSession.builder()
       .appName("graft-compact")
       .config("spark.sql.adaptive.enabled", "true")
@@ -164,13 +168,14 @@ object EncodeJob {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val r = Pipeline.compact(spark, inDirs, out, tokensPerChunk, waves)
+    val r = Pipeline.compact(spark, inDirs, out, tokensPerChunk, waves, verify = doVerify)
     val secs = (System.nanoTime() - t0) / 1e9
     println(
       s"""{"job":"graft-compact","in":[${inDirs.map(jstr).mkString(",")}],""" +
         s""""out":${jstr(out)},"chunksEncoded":${r.chunksEncoded},""" +
         s""""rows":${r.rows},"rowsDropped":${r.rowsDropped},"tokens":${r.tokens},""" +
-        f""""encodedBytes":${r.encodedBytes},"compactSecs":$secs%.2f}""")
+        s""""encodedBytes":${r.encodedBytes},"verified":$doVerify,""" +
+        f""""compactSecs":$secs%.2f}""")
     spark.stop()
   }
 

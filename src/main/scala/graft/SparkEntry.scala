@@ -40,10 +40,6 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
 
-  /** At-rest variant for queries that demonstrate the parquet layout
-    * itself (q27's pruned doc-index read): one Hive-partitioned write
-    * per (dir, tokensPerChunk) per JVM, reused across queries.
-    */
   /** One JVM-wide scratch root with a single cleanup hook; queries that
     * need at-rest scratch (q27's partitioned write, q52's compaction
     * inputs) create subdirectories here instead of registering one
@@ -55,6 +51,10 @@ object SparkEntry {
     r
   }
 
+  /** At-rest variant for queries that demonstrate the parquet layout
+    * itself (q27's pruned doc-index read): one Hive-partitioned write
+    * per (dir, tokensPerChunk) per JVM, reused across queries.
+    */
   private val chunkDirCache = scala.collection.concurrent.TrieMap.empty[(String, Long), String]
   def chunksDirFor(s: SparkSession, dir: String, tokensPerChunk: Long): String =
     chunkDirCache.getOrElseUpdate((dir, tokensPerChunk), {

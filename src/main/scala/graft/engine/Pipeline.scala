@@ -215,36 +215,54 @@ object Pipeline {
       inDirs: Seq[String],
       outDir: String,
       tokensPerChunk: Long = Chunker.DefaultTokensPerChunk,
-      waves: Int = 4
+      waves: Int = 4,
+      verify: Boolean = false
   ): EncodeReport = {
     import spark.implicits._
     require(inDirs.nonEmpty, "compact needs at least one input dir")
-    // the target must be FRESH: run()'s resume semantics APPEND, so an
-    // in-place or reused target would silently double every doc
+    val tag = s"compact:${inDirs.sorted.mkString(",")}"
+    // in-place compaction can never work: run() appends to the target
+    // while readTokens streams from it
     def canon(p: String) = try new java.io.File(p).getCanonicalPath catch { case _: Throwable => p }
     require(!inDirs.map(canon).contains(canon(outDir)),
       s"compact target $outDir must not be one of its inputs (in-place compaction would read while appending)")
-    require(!fsOf(spark, chunksPath(outDir)).exists(new org.apache.hadoop.fs.Path(chunksPath(outDir))),
-      s"compact target $outDir already holds a chunks table; compaction writes a NEW table")
-    // persist the decoded union: the count below plus run()'s planning
-    // pre-passes + payload staging would otherwise re-decode every
-    // input chunk once per pass
+    // a populated target is allowed ONLY when it is this exact
+    // compaction's partial output (same input set -> same persisted
+    // input_split -> identical deterministic chunk ids): that is run()'s
+    // designed wave-checkpoint resume. Any other content would be
+    // silently duplicated by the append semantics — refuse.
+    if (fsOf(spark, chunksPath(outDir)).exists(new org.apache.hadoop.fs.Path(chunksPath(outDir)))) {
+      val splits = readChunks(spark, outDir).toDF()
+        .select("input_split").distinct().collect().map(_.getString(0)).toSet
+      require(splits == Set(tag),
+        s"compact target $outDir holds a chunks table from a different input set " +
+          s"(${splits.mkString(", ")}); compaction writes a NEW table or resumes its own partial output")
+    }
+    // key each row ONCE (content checksum is O(n_tok)); the combiner
+    // then compares precomputed keys however many inputs collide. No
+    // persist: at target scale materializing the decoded union would
+    // demand corpus-size executor storage — run()'s extra decode passes
+    // are the cheaper trade, and the row accounting below is
+    // metadata-only.
     val all = inDirs.map(d => readTokens(spark, d)).reduce(_ union _)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val inputRows = all.count()
-      // key each row ONCE (content checksum is O(n_tok)); the combiner
-      // then compares precomputed keys however many inputs collide
-      val winners = all
-        .map(r => ((r.source, r.n_tok, Checksum.ofTokens(r.tokens, r.n_tok)), r))
-        .groupByKey(_._2.doc_id)
-        .reduceGroups((x, y) =>
-          if (Ordering[(String, Int, Long)].lteq(x._1, y._1)) x else y)
-        .map(_._2._2)
-      val rpt = run(spark, winners, outDir, tokensPerChunk, waves,
-        inputSplit = s"compact:${inDirs.sorted.mkString(",")}")
-      rpt.copy(rowsDropped = inputRows - rpt.rows)
-    } finally { all.unpersist(); () }
+    val winners = all
+      .map(r => ((r.source, r.n_tok, Checksum.ofTokens(r.tokens, r.n_tok)), r))
+      .groupByKey(_._2.doc_id)
+      .reduceGroups((x, y) =>
+        if (Ordering[(String, Int, Long)].lteq(x._1, y._1)) x else y)
+      .map(_._2._2)
+    val rpt = run(spark, winners, outDir, tokensPerChunk, waves, inputSplit = tag)
+    if (verify) {
+      val v = Verifier.verify(winners, readChunks(spark, outDir))
+      require(v.ok, s"compact round-trip verification FAILED: $v")
+    }
+    // dedup accounting from chunk METADATA (payload pruned), correct on
+    // resume too — rpt.rows counts only the waves this invocation wrote
+    def metaRows(d: String): Long = {
+      val r = spark.read.parquet(chunksPath(d)).agg(sum("n_rows")).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    rpt.copy(rowsDropped = inDirs.map(metaRows).sum - metaRows(outDir))
   }
 
   /** Point-lookup decode: only chunks whose [min_doc_id, max_doc_id]

@@ -427,17 +427,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Pipeline.run(spark, b, dirB, tokensPerChunk = 16 * 1024, waves = 1)
 
     val out = tmpDir()
-    val rpt = Pipeline.compact(spark, Seq(dirA, dirB), out, tokensPerChunk = 16 * 1024, waves = 1)
+    val rpt = Pipeline.compact(spark, Seq(dirA, dirB), out,
+      tokensPerChunk = 16 * 1024, waves = 1, verify = true)
     assert(rpt.rowsDropped == 100, s"the 100 overlap duplicates must be SURFACED, got ${rpt.rowsDropped}")
     assert(rpt.rows == 300)
     val dec = Pipeline.readTokens(spark, out).collect()
     assert(dec.length == 300, s"dedup-union must have every doc once, got ${dec.length}")
-    // guards: in-place compaction and reused targets refuse loudly
-    // (run()'s resume semantics append — they would silently duplicate)
+    // guards: in-place compaction and targets holding a DIFFERENT input
+    // set's table refuse loudly (run()'s resume semantics append — they
+    // would silently duplicate)
     intercept[IllegalArgumentException](
       Pipeline.compact(spark, Seq(out), out, tokensPerChunk = 16 * 1024))
     intercept[IllegalArgumentException](
       Pipeline.compact(spark, Seq(dirA), out, tokensPerChunk = 16 * 1024))
+    // resuming the SAME compaction is the designed wave-checkpoint path:
+    // idempotent, nothing re-encoded, accounting unchanged
+    val again = Pipeline.compact(spark, Seq(dirA, dirB), out, tokensPerChunk = 16 * 1024, waves = 1)
+    assert(again.chunksEncoded == 0, "resume must skip every completed chunk")
+    assert(again.rowsDropped == 100, s"metadata accounting must survive resume, got ${again.rowsDropped}")
+    assert(Pipeline.readTokens(spark, out).count() == 300)
     val orig = ds.collect().map(r => r.doc_id -> r).toMap
     dec.foreach { r =>
       assert(r.tokens.sameElements(orig(r.doc_id).tokens), s"content mismatch at ${r.doc_id}")
