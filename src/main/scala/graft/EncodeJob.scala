@@ -14,7 +14,7 @@ import graft.engine.{Admission, Chunker, Pipeline, Quota, ResourceExhausted, Tok
   * spark-submit ... mode=lookup out=<output-dir> doc=<doc_id>  // stat-pruned point decode
   * spark-submit ... mode=index  out=<output-dir>               // token-payload-free doc index
   * spark-submit ... mode=compact in=<dir1,dir2,...> out=<NEW-dir> \
-  *   [tokensPerChunk=4194304] [waves=16]
+  *   [tokensPerChunk=4194304] [waves=16] [verify=true]
   *   // fold several encoded tables (streaming micro-batch
   *   // accumulations, backfills) into one deduplicated table —
   *   // refuses in-place or already-populated targets
