@@ -499,16 +499,16 @@ object Bench {
     // "encode" object is built progressively — whatever was measured is
     // emitted, with "status" telling the reader how far the run got.
     val wallT0 = System.nanoTime()
-    // 2400s: the driver demonstrably tolerates ~3500s of wall (round 2
-    // completed at 3427s); 2400 + worst-case overshoot (one in-flight
-    // pass + decode + emit, ~250s) stays under that. The first full
-    // 2B-corpus run finished its 4 pair attempts at wall 1790s against
-    // the old 1800s setting — in this host's shifty-but-throttled
-    // weather pairs fail mostly on sandwich drift, so the extra 600s
-    // (≈2-4 more pair attempts at 140-380s each) is the cheapest way to
-    // raise the odds that one sandwich lands with a stable ambient.
+    // 2900s: the driver demonstrably tolerates ~3500s of wall (round 2
+    // completed and was captured at 3427s); 2900 + worst-case overshoot
+    // (one in-flight pass + decode + emit, ~250s) stays under that.
+    // Round 3 used 2400 and finished at 2118s with only 1 clean pair
+    // against a quota of 3 (stormy window, all 9 attempts burned) — in
+    // this host's 20-40min storm waves the extra 500s buys ~2-3 more
+    // pair attempts and, more importantly, more calm-gate waiting room
+    // between them, which is the cheapest path to a non-degraded run.
     val deadlineSecs =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SECS", "2400").toLong
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SECS", "2900").toLong
     def elapsedSecs: Double = (System.nanoTime() - wallT0) / 1e9
     def leftSecs: Double = deadlineSecs - elapsedSecs
 
@@ -560,19 +560,23 @@ object Bench {
       "status" -> jstr("not_started"))
     def setEnc(kvs: (String, String)*): Unit = kvs.foreach { case (k, v) => encFields(k) = v }
 
+    // Two-line + sidecar delivery (see BenchEmit scaladoc): the full
+    // report prints FIRST and lands in BENCH_FULL.json; the LAST stdout
+    // line is the compact headline that must survive the driver's
+    // 2,000-char tail capture with sbt's "[success] ..." trailer after
+    // it — rounds 1-3 all lost their official result to this window.
     def emit(): Unit = if (!emitted) {
       emitted = true
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-        .mkString("{", ",", "}")
-      val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(300))}" }
-        .mkString("{", ",", "}")
-      val total = results.map(_._2).filter(_ >= 0).sum
-      val enc = encFields.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-      val fatalJson = fatal.map(jstr).getOrElse("null")
-      println(
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-          s""""errors":$errs,"sf":"$sfDir","degraded":$degraded,""" +
-          f""""wall_secs":$elapsedSecs%.1f,"fatal":$fatalJson,"encode":$enc}""")
+      val full = BenchEmit.fullLine(
+        results, errors, sfDir, degraded, elapsedSecs, fatal, encFields.toSeq)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"), (full + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => }
+      println(full)
+      val compact = BenchEmit.compactLine(
+        results, errors, sfDir, degraded, elapsedSecs, fatal, encFields.toSeq)
+      System.err.println(s"[bench] compact headline ${compact.length} chars (cap ${BenchEmit.MaxLen})")
+      println(compact)
       Console.flush()
     }
 

@@ -122,6 +122,7 @@ object Encoder {
       n_tokens = toks.len.toLong,
       min_doc_id = if (minDoc == null) "" else minDoc,
       max_doc_id = if (maxDoc == null) "" else maxDoc,
+      doc_bloom = DocBloom.build(docIds),
       token_cardinality = Selector.exactDistinct(toks.arr, 0, toks.len),
       min_token = minTok,
       max_token = maxTok,

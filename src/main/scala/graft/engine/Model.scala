@@ -47,6 +47,13 @@ final case class EncodedChunk(
       */
     min_doc_id: String,
     max_doc_id: String,
+    /** Bloom filter over the chunk's doc_ids ([[DocBloom]] layout) —
+      * the membership rung that keeps point lookups sub-linear under
+      * HASH-bucketed chunking, where [min_doc_id, max_doc_id] covers
+      * nearly the full corpus range at production chunk sizes. null =
+      * unknown (older layouts) = may-contain, never prune.
+      */
+    doc_bloom: Array[Byte],
     /** exact distinct token count when < 2^16, else -1 — the
       * dictionary-page-only distinct trick lifted into chunk metadata
       * (reference: search/materialize.go:358-380): distinct-values

@@ -126,7 +126,14 @@ object Pipeline {
       ("token_cardinality", lit(-1)),
       ("min_token", lit(Int.MinValue)),
       ("max_token", lit(Int.MaxValue)))
-    defaults.foldLeft(df) { case (d, (name, dflt)) =>
+    val d0 =
+      // doc_bloom's never-prune default IS null (DocBloom.mayContain
+      // treats null as may-contain), so only the absent-column case
+      // needs a synthesized column — no coalesce
+      if (!df.columns.contains("doc_bloom"))
+        df.withColumn("doc_bloom", lit(null).cast("binary"))
+      else df
+    defaults.foldLeft(d0) { case (d, (name, dflt)) =>
       if (!d.columns.contains(name)) d.withColumn(name, dflt)
       else d.withColumn(name, coalesce(col(name), dflt))
     }
@@ -279,11 +286,54 @@ object Pipeline {
       docId: String
   ): Dataset[TokenRow] = {
     import spark.implicits._
-    val hit = readChunks(spark, outDir)
-      .filter(col("min_doc_id") <= docId && col("max_doc_id") >= docId)
-    // within the surviving chunks, decode only the target doc's token
-    // slice (O(doc), not O(chunk) — Decoder.decodeDocTokens)
+    val ids = pointLookupChunkIds(spark, outDir, docId)
+    // phase 2: payload read restricted to the surviving chunk ids —
+    // chunk_id is a plain parquet column, so the isin pushes to
+    // row-group stats; within each survivor, decode only the target
+    // doc's token slice (O(doc), not O(chunk) — Decoder.decodeDocTokens)
+    val hit =
+      if (ids.isEmpty)
+        readChunks(spark, outDir).filter(lit(false))
+      else if (ids.length <= 1024)
+        readChunks(spark, outDir).filter(col("chunk_id").isin(ids: _*))
+      else
+        // old-layout dir (null blooms): the candidate list is every
+        // range-covering chunk — too many for an In-list expression;
+        // fall back to the pushable range predicate (same result set)
+        readChunks(spark, outDir)
+          .filter(col("min_doc_id") <= docId && col("max_doc_id") >= docId)
     hit.flatMap(c => Decoder.decodeDocTokens(c, docId))
+  }
+
+  /** Phase 1 of a point lookup: the candidate chunk ids, from a
+    * PAYLOAD-FREE metadata scan (chunk_id, doc_id bounds, doc bloom —
+    * tokens_enc never read) filtered by the two pruning rungs:
+    *   1. [min_doc_id, max_doc_id] covers the key (also pushed to
+    *      parquet row-group stats);
+    *   2. the per-chunk doc_id Bloom filter may contain the key
+    *      ([[DocBloom]] — the rung that stays selective under hash
+    *      bucketing, where rung 1 alone approaches all-chunks at
+    *      production rows-per-chunk; null bloom = may-contain).
+    * Only the surviving ids come back to the driver — bounded by the
+    * bloom FPR (<1% of chunks) plus true hits, never by corpus size.
+    */
+  def pointLookupChunkIds(
+      spark: SparkSession,
+      outDir: String,
+      docId: String
+  ): Seq[Long] = {
+    import spark.implicits._
+    withMetadataDefaults(spark.read
+      .schema(org.apache.spark.sql.Encoders.product[EncodedChunk].schema)
+      .parquet(chunksPath(outDir))
+      .drop("doc_ids_enc", "sources_enc", "lengths_enc", "tokens_enc"))
+      .filter(col("min_doc_id") <= docId && col("max_doc_id") >= docId)
+      .select(col("chunk_id"), col("doc_bloom"))
+      .as[(Long, Array[Byte])]
+      .filter(r => DocBloom.mayContain(r._2, docId))
+      .map(_._1)
+      .collect()
+      .toSeq
   }
 
   /** Projection-aware metadata read: (chunk_id, doc_id, n_tok, source)

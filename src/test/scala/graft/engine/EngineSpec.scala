@@ -184,23 +184,49 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v.ok, s"post-adoption verify failed: $v")
   }
 
-  test("point lookup decodes only chunks whose doc_id stats cover the key") {
+  test("point lookup decodes only a bounded fraction of chunks at production docs-per-chunk") {
     import spark.implicits._
+    // production-RATIO fixture: hundreds of docs per chunk, the regime
+    // where hash bucketing makes each chunk's [min_doc_id, max_doc_id]
+    // cover ~the whole corpus range and the range rung alone prunes
+    // ~nothing (round-3 verdict: the old `hit < total` assertion was
+    // satisfiable at >95% selectivity). The doc_id bloom rung must keep
+    // the candidate set near-constant regardless.
     val ds = Fixtures.tokenTable(spark, 2000, seed = 33, medianLen = 64, maxLen = 512, partitions = 4)
     val out = tmpDir()
     Pipeline.run(spark, ds, out, tokensPerChunk = 32 * 1024, waves = 1)
     val all = Pipeline.readChunks(spark, out)
     val total = all.count()
-    val key = ds.head().doc_id
-    val hit = all.filter(
+    assert(total >= 4, s"fixture must span several chunks, got $total")
+    // a MID-corpus key: the global min/max doc_ids are covered by one
+    // chunk by construction even under hash bucketing — the worst (and
+    // typical) case is a key strictly inside every chunk's range
+    val key = ds.orderBy("doc_id").limit(1001).collect().last.doc_id
+    val rangeHits = all.filter(
       org.apache.spark.sql.functions.col("min_doc_id") <= key &&
         org.apache.spark.sql.functions.col("max_doc_id") >= key).count()
-    info(s"chunk-stat pruning: $hit of $total chunks cover doc_id=$key")
-    assert(hit < total, "doc_id stats pruned nothing")
+    val candidates = Pipeline.pointLookupChunkIds(spark, out, key)
+    info(s"chunk pruning for doc_id=$key: range rung $rangeHits/$total, " +
+      s"range+bloom ${candidates.size}/$total")
+    // pin the premise: under hash bucketing the range rung alone is
+    // near-vacuous for an interior key (this is WHY the bloom exists)
+    assert(rangeHits > total / 2,
+      s"fixture no longer exercises the hash-bucket worst case ($rangeHits/$total)")
+    // real selectivity: the bloom holds the candidate set to a small
+    // fraction of the chunk count (FPR <1%; the bound leaves room for
+    // unlucky small-sample collisions)
+    assert(candidates.size <= math.max(1L, total / 4),
+      s"bloom rung not selective: ${candidates.size} of $total chunks")
     val rows = Pipeline.readTokensForDocId(spark, out, key).collect()
     val expected = ds.filter(_.doc_id == key).head()
     assert(rows.length == 1)
     assert(rows.head.tokens.sameElements(expected.tokens))
+    // a key that does not exist anywhere: bloom should normally reject
+    // every chunk, and the decode must return nothing either way
+    val missCandidates = Pipeline.pointLookupChunkIds(spark, out, "no-such-doc-id")
+    info(s"absent-key candidates: ${missCandidates.size}/$total")
+    assert(missCandidates.size <= math.max(1L, total / 4))
+    assert(Pipeline.readTokensForDocId(spark, out, "no-such-doc-id").isEmpty)
   }
 
   test("decodeDocTokens materializes O(doc), not O(chunk)") {
