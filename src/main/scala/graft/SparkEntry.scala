@@ -27,15 +27,38 @@ object SparkEntry {
     * magnitude under the input).
     */
   private val chunkCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String, Long), org.apache.spark.sql.Dataset[graft.engine.EncodedChunk]]
+    .empty[(String, String, Long, Long), org.apache.spark.sql.Dataset[graft.engine.EncodedChunk]]
+
+  /** Shallow content stamp of a local parquet directory (file mtimes,
+    * lengths, child count): cache keys carry it so regenerating a
+    * fixture AT THE SAME PATH within one long-lived JVM invalidates the
+    * cached encode instead of serving stale chunks to q27/q45-style
+    * queries. Shallow is enough — a parquet dir's files are immutable
+    * once written; any regeneration replaces files.
+    */
+  private def dirStamp(path: String): Long = {
+    val f = new java.io.File(path)
+    val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+    kids.foldLeft(f.lastModified() ^ kids.length.toLong) { (a, k) =>
+      a * 1099511628211L ^ k.lastModified() ^ k.length() ^ k.getName.hashCode.toLong
+    }
+  }
+
   def chunksFor(s: SparkSession, dir: String, tokensPerChunk: Long)
       : org.apache.spark.sql.Dataset[graft.engine.EncodedChunk] = {
     val appId = s.sparkContext.applicationId
+    val stamp = dirStamp(s"$dir/documents.parquet")
     // entries of other applications belong to stopped sessions — drop
     // them so a long-lived JVM (test host, notebook) never pins dead
-    // sessions' persisted Datasets
+    // sessions' persisted Datasets; same-key entries with a different
+    // content stamp are stale fixtures — unpersist before dropping
     chunkCache.keys.filter(_._1 != appId).foreach(chunkCache.remove)
-    chunkCache.getOrElseUpdate((appId, dir, tokensPerChunk),
+    chunkCache.filterInPlace { case ((a, d, t, st), ds) =>
+      val keep = !(a == appId && d == dir && t == tokensPerChunk && st != stamp)
+      if (!keep) ds.unpersist()
+      keep
+    }
+    chunkCache.getOrElseUpdate((appId, dir, tokensPerChunk, stamp),
       Encoder.encodeTable(tokenTable(s, dir), tokensPerChunk)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
   }
@@ -55,9 +78,9 @@ object SparkEntry {
     * itself (q27's pruned doc-index read): one Hive-partitioned write
     * per (dir, tokensPerChunk) per JVM, reused across queries.
     */
-  private val chunkDirCache = scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+  private val chunkDirCache = scala.collection.concurrent.TrieMap.empty[(String, Long, Long), String]
   def chunksDirFor(s: SparkSession, dir: String, tokensPerChunk: Long): String =
-    chunkDirCache.getOrElseUpdate((dir, tokensPerChunk), {
+    chunkDirCache.getOrElseUpdate((dir, tokensPerChunk, dirStamp(s"$dir/documents.parquet")), {
       val tmp = java.nio.file.Files.createTempDirectory(scratchRoot, "chunks-at-rest").toString
       chunksFor(s, dir, tokensPerChunk)
         .write.mode("overwrite").option("compression", "zstd")

@@ -120,9 +120,15 @@ object FloatCodec {
       (c, sink.result())
     }
     val (winner, trialBytes) = trials.minBy { case (_, b) => Selector.zstdSize(b) }
-    // the common q51 case batches at exactly TrialValues floats: the
-    // winning trial already IS the full encoding — don't encode thrice
-    if (tFrom == from && tN == n) (winner, trialBytes)
+    // reuse the winning trial as the full encoding when the trial
+    // covered the whole window (n <= TrialValues; tN == n implies
+    // tFrom == from). q51-style batches flush only after a whole
+    // vector, so their n lands in [TrialValues, TrialValues + dim) and
+    // usually misses this path — the double encode there is accepted:
+    // splitting the last vector across batches to hit the fast path
+    // would buy one pass over ~64 Ki floats at the cost of a more
+    // fragile batch invariant.
+    if (tN == n) (winner, trialBytes)
     else {
       val out = new ByteSink(4 * n + 16)
       winner.encode(a, from, n, out)

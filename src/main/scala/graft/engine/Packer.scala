@@ -54,17 +54,39 @@ object Packer {
   /** The packing PLAN: (doc_id, source, n_tok, bin) — metadata only,
     * the payload is never read (column pruning keeps `tokens` out of
     * the scan when `ds` comes straight from parquet).
+    *
+    * PRECONDITION (enforced): (doc_id, source) is unique. Duplicate
+    * rows would make the cumsum's tie order — and thus bin assignment —
+    * nondeterministic, and [[pack]]'s plan-to-payload join would
+    * multiply each duplicate (2×2 = 4 copies). The engine treats
+    * duplicates as legal elsewhere (compact dedups them; the Verifier
+    * is multiset-exact), so packing a table that still has them is a
+    * pipeline-order bug — surfaced here as a task-side error rather
+    * than silently corrupted examples. The check rides the SAME
+    * window shuffle as the cumsum (rows arrive sorted by doc_id within
+    * source, so duplicates are adjacent — one `lag` comparison), not an
+    * extra pass or action.
     */
   def plan(ds: Dataset[TokenRow], binTokens: Long): DataFrame = {
     require(binTokens > 0, s"binTokens must be positive, got $binTokens")
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wo = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val w = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ds.toDF()
       .select(col("doc_id"), col("source"), col("n_tok"))
       .withColumn("cum", sum(col("n_tok").cast("long")).over(w))
       // integer `div`, not `/`: double division loses exactness past
       // 2^53 cumulative tokens — the 10^15-token scale this targets
       .withColumn("bin", expr(s"(cum - n_tok) div ${binTokens}L"))
+      .withColumn("_dup_check", assert_true(
+        lag(col("doc_id"), 1).over(wo).isNull ||
+          lag(col("doc_id"), 1).over(wo) =!= col("doc_id"),
+        lit("Packer: duplicate (doc_id, source) rows in input — " +
+          "dedup (e.g. Pipeline.compact) before packing")))
+      // filtering on the check column forces its evaluation on every
+      // row (a bare drop would let the optimizer prune it unevaluated);
+      // assert_true yields NULL on pass, so the filter keeps all rows
+      .filter(col("_dup_check").isNull)
+      .drop("_dup_check")
   }
 
   /** Materialize packed examples: concatenated token arrays with doc

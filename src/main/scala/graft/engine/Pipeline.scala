@@ -238,13 +238,53 @@ object Pipeline {
     // input_split -> identical deterministic chunk ids): that is run()'s
     // designed wave-checkpoint resume. Any other content would be
     // silently duplicated by the append semantics — refuse.
+    //
+    // The input-split tag names the input DIRECTORIES; it cannot see
+    // that a directory's CONTENT changed between the partial run and
+    // this resume (appended waves, a re-encode) — in which case resume
+    // would mix chunks planned against the old content with chunks
+    // planned against the new, and the same doc could land twice. A
+    // content fingerprint (order-independent hash over every input
+    // chunk's (chunk_id, checksum, n_rows) — metadata-only scan) is
+    // persisted beside the partial output and must match on resume.
+    val fpFile = new org.apache.hadoop.fs.Path(outDir, "_compact_inputs.fp")
+    val fs = fsOf(spark, outDir)
+    val contentFp: String = {
+      val per = inDirs.map(d =>
+        spark.read.parquet(chunksPath(d))
+          .select(xxhash64(col("chunk_id"), col("checksum"), col("n_rows")).as("h")))
+        .reduce(_ union _)
+      // decimal sum: order-independent AND overflow-free under ANSI
+      // mode (a long sum of 2^63-scale hashes would throw)
+      val r = per.agg(sum(col("h").cast("decimal(20,0)"))).first()
+      if (r.isNullAt(0)) "0" else r.getDecimal(0).toBigInteger.toString
+    }
     if (fsOf(spark, chunksPath(outDir)).exists(new org.apache.hadoop.fs.Path(chunksPath(outDir)))) {
       val splits = readChunks(spark, outDir).toDF()
         .select("input_split").distinct().collect().map(_.getString(0)).toSet
       require(splits == Set(tag),
         s"compact target $outDir holds a chunks table from a different input set " +
           s"(${splits.mkString(", ")}); compaction writes a NEW table or resumes its own partial output")
+      if (fs.exists(fpFile)) {
+        val stored = {
+          val in = fs.open(fpFile)
+          try {
+            val buf = new Array[Byte](64) // a Long prints in <= 20 chars
+            val n = in.read(buf)
+            new String(buf, 0, math.max(n, 0), "UTF-8").trim
+          } finally in.close()
+        }
+        require(stored == contentFp.toString,
+          s"compact inputs changed since the partial run in $outDir " +
+            s"(fingerprint $stored -> $contentFp); inputs must be immutable across " +
+            "a resumed compaction — restart into a fresh target")
+      }
+      // an older partial output without a fingerprint file resumes on
+      // the tag check alone (pre-fingerprint behavior), and gains the
+      // file below for subsequent resumes
     }
+    val out = fs.create(fpFile, true)
+    try out.write(contentFp.toString.getBytes("UTF-8")) finally out.close()
     // key each row ONCE (content checksum is O(n_tok)); the combiner
     // then compares precomputed keys however many inputs collide. No
     // persist: at target scale materializing the decoded union would

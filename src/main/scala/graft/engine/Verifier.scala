@@ -76,13 +76,33 @@ object Verifier {
     )
   }
 
-  /** Recursive local-filesystem delete (scratch dirs only). */
+  /** Recursive local-filesystem delete (scratch dirs only).
+    *
+    * Does NOT follow symlinks: this backs a JVM-wide shutdown hook on
+    * the bench scratch root, so a symlinked directory landing in
+    * scratch must be deleted as a link, never recursed into (the old
+    * File.listFiles walk would have emptied the link's TARGET).
+    * walkFileTree without FOLLOW_LINKS visits a symlink as a file —
+    * visitFile unlinks it — and never descends through it.
+    */
   def rmTree(path: String): Unit = {
-    def walk(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(walk))
-      f.delete(); ()
-    }
-    walk(new java.io.File(path))
+    val root = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(root, java.nio.file.LinkOption.NOFOLLOW_LINKS)) return
+    import java.nio.file.{FileVisitResult, Files, Path, SimpleFileVisitor}
+    import java.nio.file.attribute.BasicFileAttributes
+    try Files.walkFileTree(root, new SimpleFileVisitor[Path] {
+      override def visitFile(f: Path, attrs: BasicFileAttributes): FileVisitResult = {
+        try Files.deleteIfExists(f) catch { case _: java.io.IOException => }
+        FileVisitResult.CONTINUE
+      }
+      override def visitFileFailed(f: Path, e: java.io.IOException): FileVisitResult =
+        FileVisitResult.CONTINUE
+      override def postVisitDirectory(d: Path, e: java.io.IOException): FileVisitResult = {
+        try Files.deleteIfExists(d) catch { case _: java.io.IOException => }
+        FileVisitResult.CONTINUE
+      }
+    })
+    catch { case _: java.io.IOException => }
   }
 
   /** Directory byte size (recursive) — for the size-vs-reference bar. */

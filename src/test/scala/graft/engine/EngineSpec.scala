@@ -415,16 +415,74 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     packed.foreach(p => assert(plan((p.source, p.bin)) == p.n_tok.toLong))
   }
 
+  test("packer: duplicate (doc_id, source) rows fail loudly instead of corrupting bins") {
+    import spark.implicits._
+    val rows = Seq(
+      TokenRow("d0001", Array(1, 2, 3), 3, "web"),
+      TokenRow("d0002", Array(4, 5), 2, "web"),
+      TokenRow("d0001", Array(9, 9, 9, 9), 4, "web")) // duplicate key
+    val ds = spark.createDataset(rows)
+    // the precondition check rides the plan's window — any action
+    // evaluating the duplicated partition must surface the error
+    val e = intercept[Exception] {
+      Packer.pack(ds, 1000L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("duplicate (doc_id, source)")),
+      s"wrong failure: ${messages(e).mkString(" | ")}")
+    // unique input still packs fine through the same code path
+    val ok = Packer.pack(ds.dropDuplicates("doc_id", "source"), 1000L).collect()
+    assert(ok.map(_.n_docs).sum == 2)
+  }
+
+  test("compact: resume refuses inputs whose content changed since the partial run") {
+    import spark.implicits._
+    val dirA = tmpDir()
+    val dsA = Fixtures.tokenTable(spark, 300, seed = 61, medianLen = 64, maxLen = 512, partitions = 2)
+    Pipeline.run(spark, dsA, dirA, tokensPerChunk = 16 * 1024, waves = 1)
+    val out = tmpDir()
+    Pipeline.compact(spark, Seq(dirA), out, tokensPerChunk = 16 * 1024, waves = 1)
+    // same inputs, unchanged: idempotent resume/replay still allowed
+    Pipeline.compact(spark, Seq(dirA), out, tokensPerChunk = 16 * 1024, waves = 1)
+    // now APPEND to the input dir (content changes, path set unchanged —
+    // the input_split tag alone cannot see this); a distinct inputSplit
+    // gives the new docs disjoint chunk ids so the append is real
+    val extra = Fixtures.tokenTable(spark, 50, seed = 62, medianLen = 64, maxLen = 512, partitions = 1)
+      .map(r => r.copy(doc_id = "zz-" + r.doc_id))
+    Pipeline.run(spark, extra, dirA, tokensPerChunk = 16 * 1024, waves = 1,
+      inputSplit = "late-wave")
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.compact(spark, Seq(dirA), out, tokensPerChunk = 16 * 1024, waves = 1)
+    }
+    assert(e.getMessage.contains("inputs changed"), e.getMessage)
+  }
+
+  test("rmTree deletes a symlink itself, never the target's contents") {
+    val victim = Files.createTempDirectory("graft-victim")
+    val inside = victim.resolve("data.txt")
+    Files.write(inside, "precious".getBytes)
+    val scratch = Files.createTempDirectory("graft-scratch-test")
+    Files.write(scratch.resolve("own.txt"), "x".getBytes)
+    val link = scratch.resolve("link-to-victim")
+    Files.createSymbolicLink(link, victim)
+    Verifier.rmTree(scratch.toString)
+    assert(!Files.exists(scratch), "scratch dir must be gone")
+    assert(Files.exists(victim) && Files.exists(inside),
+      "rmTree followed a symlink and deleted the target's contents")
+    Verifier.rmTree(victim.toString)
+  }
+
   test("chunks written by an older layout (missing metadata columns) still read") {
     import spark.implicits._
     val ds = Fixtures.tokenTable(spark, 200, seed = 21, medianLen = 64, maxLen = 512, partitions = 2)
     val cur = tmpDir()
     Pipeline.run(spark, ds, cur, tokensPerChunk = 16 * 1024, waves = 1)
     // simulate a directory written before input_split/token_cardinality/
-    // min_token/max_token existed
+    // min_token/max_token/doc_bloom existed
     val old = tmpDir()
     spark.read.parquet(Pipeline.chunksPath(cur))
-      .drop("input_split", "token_cardinality", "min_token", "max_token")
+      .drop("input_split", "token_cardinality", "min_token", "max_token", "doc_bloom")
       .write.option("compression", "zstd")
       .parquet(Pipeline.chunksPath(old))
     // read/decode path: defaults fill in, every row decodes
@@ -435,6 +493,12 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val chunks = Pipeline.readChunks(spark, old).collect()
     assert(chunks.forall(c => c.min_token == Int.MinValue && c.max_token == Int.MaxValue))
     assert(chunks.forall(_.token_cardinality == -1))
+    // absent doc_bloom = may-contain: a point lookup on the old layout
+    // still finds its row (the bloom rung never prunes on null)
+    assert(chunks.forall(_.doc_bloom == null))
+    val someDoc = decoded.head
+    val found = Pipeline.readTokensForDocId(spark, old, someDoc.doc_id).collect()
+    assert(found.length == 1 && found.head.tokens.sameElements(someDoc.tokens))
     // resume over the old dir: adoption/lineage derivation doesn't crash
     // and records the unknown-split default
     val rpt = Pipeline.run(spark, ds, old, tokensPerChunk = 16 * 1024, waves = 1)
