@@ -1539,6 +1539,39 @@ object SparkEntry {
         |       WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // hist16 is frame-split-invariant: the stub decoder's frames
+    // PARTITION the UTF-8 payload (MediaSpec pins byte conservation),
+    // so the byte histogram equals the histogram of encode(text) —
+    // reconstructed here per code point from the UTF-8 encoding
+    // algebra (1/2/3/4-byte sequences), no blob byte-walk needed
+    "q33_media_features" -> {
+      val bucketSums = (0 until 16)
+        .map(k => s"sum(CASE WHEN b // 16 = $k THEN 1 ELSE 0 END)")
+        .mkString(",\n    ")
+      s"""WITH bytes AS (
+         |  SELECT d.doc_id, t.b
+         |  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, unicode(ch) AS c
+         |        FROM documents, unnest(string_split(text, '')) AS u(ch)) d,
+         |       unnest(CASE
+         |         WHEN c < 128 THEN [c]
+         |         WHEN c < 2048 THEN [192 + c // 64, 128 + c % 64]
+         |         WHEN c < 65536 THEN [224 + c // 4096, 128 + (c // 64) % 64, 128 + c % 64]
+         |         ELSE [240 + c // 262144, 128 + (c // 4096) % 64, 128 + (c // 64) % 64, 128 + c % 64]
+         |       END) AS t(b)),
+         |hist AS (
+         |  SELECT doc_id, count(*) AS n_bytes,
+         |    concat_ws(',',
+         |    $bucketSums) AS hist16
+         |  FROM bytes GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         |  CAST(coalesce(h.n_bytes, 0) AS BIGINT) AS n_bytes,
+         |  coalesce(h.hist16, '0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0') AS hist16
+         |FROM (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+         |LEFT JOIN hist h USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    }
   )
 }

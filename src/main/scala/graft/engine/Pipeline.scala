@@ -216,7 +216,66 @@ object Pipeline {
     * Scale shape: inputs are decoded once (chunk-parallel); dedup is
     * one shuffle on doc_id with map-side combine (reduceGroups); then
     * the standard encode pipeline (one payload shuffle + write).
+    * When the inputs are PROVABLY duplicate-free ([[compactPlan]]'s
+    * metadata checks) the dedup shuffle is skipped entirely — the
+    * common 100 TB compaction (backfills of disjoint date/id ranges)
+    * pays one payload shuffle, not two.
     */
+  /** The decoded-and-deduplicated row plan a compaction encodes, plus
+    * whether the dedup shuffle was provably unnecessary and skipped.
+    *
+    * Fast path (the common case at scale — backfills compact disjoint
+    * date/id ranges): when (a) the input dirs' doc_id RANGES are
+    * pairwise disjoint (exact proof from chunk metadata min/max — one
+    * tiny agg per dir) and (b) each dir is internally duplicate-free
+    * (count == countDistinct over the payload-free doc index), no doc
+    * can appear twice, so the union feeds the encoder directly and the
+    * only payload shuffle left is run()'s repartition-by-chunk. The
+    * proofs are metadata-priced: (a) never touches row data at all,
+    * (b) shuffles only doc_id strings with partial aggregation. Any
+    * doubt (overlapping ranges, an internal duplicate, an empty dir
+    * answer) falls back to the full dedup — the fast path is an
+    * optimization, never a correctness gate.
+    */
+  def compactPlan(
+      spark: SparkSession,
+      inDirs: Seq[String]
+  ): (Dataset[TokenRow], Boolean) = {
+    import spark.implicits._
+    val all = inDirs.map(d => readTokens(spark, d)).reduce(_ union _)
+    val ranges = inDirs.map { d =>
+      val r = spark.read.parquet(chunksPath(d))
+        .agg(min("min_doc_id"), max("max_doc_id")).first()
+      (Option(r.getString(0)), Option(r.getString(1)))
+    }
+    val nonEmpty = ranges.collect { case (Some(lo), Some(hi)) => (lo, hi) }
+    val rangesDisjoint = nonEmpty.sortBy(_._1).sliding(2).forall {
+      case Seq((_, aHi), (bLo, _)) => aHi < bLo
+      case _ => true
+    }
+    val provablyUnique = rangesDisjoint && inDirs.forall { d =>
+      val r = readDocIndex(spark, d)
+        .agg(count(col("doc_id")), countDistinct(col("doc_id"))).first()
+      r.getLong(0) == r.getLong(1)
+    }
+    if (provablyUnique) (all, true)
+    else {
+      // key each row ONCE (content checksum is O(n_tok)); the combiner
+      // then compares precomputed keys however many inputs collide. No
+      // persist: at target scale materializing the decoded union would
+      // demand corpus-size executor storage — run()'s extra decode
+      // passes are the cheaper trade, and compact's row accounting is
+      // metadata-only.
+      val winners = all
+        .map(r => ((r.source, r.n_tok, Checksum.ofTokens(r.tokens, r.n_tok)), r))
+        .groupByKey(_._2.doc_id)
+        .reduceGroups((x, y) =>
+          if (Ordering[(String, Int, Long)].lteq(x._1, y._1)) x else y)
+        .map(_._2._2)
+      (winners, false)
+    }
+  }
+
   def compact(
       spark: SparkSession,
       inDirs: Seq[String],
@@ -285,19 +344,7 @@ object Pipeline {
     }
     val out = fs.create(fpFile, true)
     try out.write(contentFp.toString.getBytes("UTF-8")) finally out.close()
-    // key each row ONCE (content checksum is O(n_tok)); the combiner
-    // then compares precomputed keys however many inputs collide. No
-    // persist: at target scale materializing the decoded union would
-    // demand corpus-size executor storage — run()'s extra decode passes
-    // are the cheaper trade, and the row accounting below is
-    // metadata-only.
-    val all = inDirs.map(d => readTokens(spark, d)).reduce(_ union _)
-    val winners = all
-      .map(r => ((r.source, r.n_tok, Checksum.ofTokens(r.tokens, r.n_tok)), r))
-      .groupByKey(_._2.doc_id)
-      .reduceGroups((x, y) =>
-        if (Ordering[(String, Int, Long)].lteq(x._1, y._1)) x else y)
-      .map(_._2._2)
+    val (winners, _) = compactPlan(spark, inDirs)
     val rpt = run(spark, winners, outDir, tokensPerChunk, waves, inputSplit = tag)
     if (verify) {
       val v = Verifier.verify(winners, readChunks(spark, outDir))
@@ -426,7 +473,22 @@ object Pipeline {
     // chunks already durable from a previous (partial) run
     val completed: Option[DataFrame] =
       readLineage(spark, outDir).map(_.select("chunk_id").distinct())
-    val skippedCount = completed.map(_.count()).getOrElse(0L)
+    // report-only: skipped = planned ∩ completed. Chunk ids are scoped
+    // by input_split (disjoint across splits), so the completed chunks
+    // OF THIS SPLIT are exactly the planned ones a resume skips —
+    // counting all lineage rows would overstate skips when the target
+    // also holds chunks from other splits (e.g. streaming micro-batches)
+    val skippedCount = readLineage(spark, outDir)
+      .map { lin =>
+        // pre-input_split lineage (older layout): no way to scope, keep
+        // the permissive all-rows count there
+        val scoped =
+          if (lin.columns.contains("input_split"))
+            lin.filter(coalesce(col("input_split"), lit("")) === inputSplit)
+          else lin
+        scoped.select("chunk_id").distinct().count()
+      }
+      .getOrElse(0L)
 
     val pending = completed match {
       case Some(done) =>

@@ -458,6 +458,35 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("inputs changed"), e.getMessage)
   }
 
+  test("compact: provably disjoint inputs skip the dedup shuffle; overlap does not") {
+    import spark.implicits._
+    val dsA = Fixtures.tokenTable(spark, 200, seed = 71, medianLen = 64, maxLen = 512, partitions = 2)
+    val dsB = dsA.map(r => r.copy(doc_id = "zz-" + r.doc_id))
+    val dirA = tmpDir(); val dirB = tmpDir()
+    Pipeline.run(spark, dsA, dirA, tokensPerChunk = 16 * 1024, waves = 1)
+    Pipeline.run(spark, dsB, dirB, tokensPerChunk = 16 * 1024, waves = 1)
+    // doc ranges: dirA = doc_*, dirB = zz-doc_* — disjoint, both unique
+    val (fastPlan, skipped) = Pipeline.compactPlan(spark, Seq(dirA, dirB))
+    assert(skipped, "disjoint unique inputs must take the no-dedup fast path")
+    // the fast plan is decode+union only: no shuffle stage at all
+    // before the encoder's own repartition
+    val physical = fastPlan.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"),
+      s"fast path still shuffles:\n$physical")
+    // overlapping inputs (dirA twice) must fall back to the dedup
+    val (slowPlan, skipped2) = Pipeline.compactPlan(spark, Seq(dirA, dirA))
+    assert(!skipped2, "overlapping inputs must keep the dedup shuffle")
+    assert(slowPlan.queryExecution.executedPlan.toString.contains("Exchange"))
+    // end-to-end: the fast-path compaction reproduces the exact union
+    val out = tmpDir()
+    val rpt = Pipeline.compact(spark, Seq(dirA, dirB), out, tokensPerChunk = 16 * 1024, waves = 1)
+    assert(rpt.rowsDropped == 0)
+    val decoded = Pipeline.readTokens(spark, out).collect().map(r => r.doc_id -> r.tokens.toSeq).toMap
+    val srcRows = dsA.collect() ++ dsB.collect()
+    assert(decoded.size == srcRows.length)
+    srcRows.foreach(r => assert(decoded(r.doc_id) == r.tokens.toSeq))
+  }
+
   test("rmTree deletes a symlink itself, never the target's contents") {
     val victim = Files.createTempDirectory("graft-victim")
     val inside = victim.resolve("data.txt")
