@@ -36,7 +36,9 @@ object Bench {
     * encode-cost change so stale floors never outlive the code that
     * set them.
     */
-  final val FloorVersion = 1
+  // v2: doc_bloom added to EncodedChunk (round 4) — per-chunk bloom
+  // build + ~0.1% extra output bytes change the encode pass cost
+  final val FloorVersion = 2
 
   private val addOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
