@@ -667,13 +667,29 @@ object Bench {
       // would floor-reject every pair of the slower-but-correct build
       // forever and misreport a code property as permanent bad weather.
       val bestPassFile = new java.io.File(base, s"best_pass_v$FloorVersion.json")
-      val histBest: Map[Int, Double] =
-        if (!bestPassFile.isFile) Map.empty
+      def readFloors(f: java.io.File): Map[Int, Double] =
+        if (!f.isFile) Map.empty
         else try {
-          val s = new String(java.nio.file.Files.readAllBytes(bestPassFile.toPath), "UTF-8")
+          val s = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
           """"(\d+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(s)
             .map(m => m.group(1).toInt -> m.group(2).toDouble).toMap
         } catch { case _: Throwable => Map.empty }
+      // Floor migration: a FloorVersion bump must not cold-start the
+      // capacity-degraded-window detector — without ANY floor, a
+      // sustained capacity-limited phase (zero steal, agreeing highs,
+      // healthy multi-thread canary, passes 3x the true clean time)
+      // passes every relative detector and its ~0.45 "efficiency"
+      // would be sold as clean. The previous generation's floors ×1.05
+      // (an upper bound on any intentional single-version cost change;
+      // real changes are ~1-3%) seed the new file: conservative in the
+      // honest direction — a floor set slightly low can only REJECT
+      // marginal pairs, never admit storm-polluted ones.
+      val histBest: Map[Int, Double] = {
+        val own = readFloors(bestPassFile)
+        if (own.nonEmpty) own
+        else readFloors(new java.io.File(base, s"best_pass_v${FloorVersion - 1}.json"))
+          .map { case (c, v) => c -> v * 1.05 }
+      }
 
       // calm-launch gate: storms come in 20-40 min waves with calm
       // gaps — burn a bounded slice of budget waiting out an active
