@@ -473,6 +473,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // doc-sorted index lookup: the log-pruning point-lookup path over
+    // AT-REST chunks — build the (doc_id, chunk_id) index once, then a
+    // batch lookup probes it with a pushed isin filter (parquet min/max
+    // on the sorted files prune to ~one row-group) and decodes each
+    // candidate chunk once for all its keys (Decoder.decodeDocsTokens)
+    "q53_doc_index_lookup" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val tmp = chunksDirFor(s, dir, tokensPerChunk = 16384)
+      val keys = Seq("42", "123", "321")
+      if (graft.engine.Pipeline.lookupChunkIdsViaIndex(s, tmp, keys).isEmpty)
+        graft.engine.Pipeline.buildDocIndex(s, tmp)
+      graft.engine.Pipeline.readTokensForDocIds(s, tmp, keys)
+        .map(r => (r.doc_id.toLong, r.source, r.n_tok.toLong, r.tokens.foldLeft(0L)(_ + _)))
+        .toDF("doc_id", "source", "n_tok", "token_sum")
+        .orderBy(col("doc_id"))
+    }),
+
     // projection-aware decode: ids/lengths/sources read from an at-rest
     // chunks table WITHOUT touching the token payload — the scan prunes
     // tokens_enc (parquet column pruning) and the kernel skips token
@@ -1268,6 +1286,12 @@ object SparkEntry {
     "q26_decode_point_lookup" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tok
         |FROM documents WHERE doc_id = 42 ORDER BY doc_id""".stripMargin,
+
+    "q53_doc_index_lookup" ->
+      """SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_tok,
+        |  CAST((SELECT sum(unicode(ch))
+        |        FROM unnest(string_split(text, '')) AS u(ch)) AS BIGINT) AS token_sum
+        |FROM documents WHERE doc_id IN (42, 123, 321) ORDER BY doc_id""".stripMargin,
 
     "q27_decode_meta_only" ->
       """SELECT source, count(*) AS n_docs,

@@ -264,6 +264,35 @@ object Decoder {
     }
   }
 
+  /** Batch point decode: every requested doc of one chunk in a single
+    * doc-index pass — k lookups pay ONE doc_ids/lengths decode instead
+    * of k ([[decodeDocTokens]] repeated), and each hit still
+    * materializes only its own token slice. The natural consumer is
+    * [[Pipeline.readTokensForDocIds]], where a candidate chunk often
+    * holds several of the requested keys.
+    */
+  def decodeDocsTokens(c: EncodedChunk, keys: Set[String]): Iterator[TokenRow] = {
+    if (keys.isEmpty) return Iterator.empty
+    val docIds = StrCodec.decode(c.doc_ids_enc)
+    val hits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < docIds.length) {
+      if (keys.contains(docIds(i))) hits += i
+      i += 1
+    }
+    if (hits.isEmpty) return Iterator.empty
+    val lengths = IntCodec.decode(c.lengths_enc)
+    val sources = StrCodec.decode(c.sources_enc)
+    val offsets = new Array[Long](lengths.length)
+    var off = 0L
+    i = 0
+    while (i < lengths.length) { offsets(i) = off; off += lengths(i); i += 1 }
+    hits.iterator.map { idx =>
+      val toks = IntCodec.decodeRange(c.tokens_enc, offsets(idx).toInt, lengths(idx))
+      TokenRow(docIds(idx), toks, lengths(idx), sources(idx))
+    }
+  }
+
   /** Column-masked decode: ids/lengths/sources only — the token payload
     * (the dominant decode cost AND the dominant byte volume) is never
     * touched. Pair with a parquet scan that doesn't select tokens_enc

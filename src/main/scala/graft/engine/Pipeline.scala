@@ -373,7 +373,10 @@ object Pipeline {
       docId: String
   ): Dataset[TokenRow] = {
     import spark.implicits._
-    val ids = pointLookupChunkIds(spark, outDir, docId)
+    // prefer the doc-sorted index (log-pruned probe) when one is fresh;
+    // the range+bloom metadata scan is the always-available fallback
+    val ids = lookupChunkIdsViaIndex(spark, outDir, Seq(docId))
+      .getOrElse(pointLookupChunkIds(spark, outDir, docId))
     // phase 2: payload read restricted to the surviving chunk ids —
     // chunk_id is a plain parquet column, so the isin pushes to
     // row-group stats; within each survivor, decode only the target
@@ -421,6 +424,138 @@ object Pipeline {
       .map(_._1)
       .collect()
       .toSeq
+  }
+
+  // ---- doc_id → chunk_id index (the log-pruning lookup path) --------
+  //
+  // The bloom rung bounds a point lookup's DECODE work, but its scan
+  // still reads every chunk's bloom (~1.25 bytes per corpus doc per
+  // lookup — fine for occasional lookups, linear all the same). The
+  // reference gets true log pruning from its global sort
+  // (convert/convert.go:765; search/constraint.go:520-595 binary
+  // search). Graft keeps hash-bucketed chunks (deterministic, resume-
+  // friendly, skew-free) and instead offers a DERIVED index table:
+  // (doc_id, chunk_id) range-partitioned and sorted by doc_id, so a
+  // lookup is a pushed-filter probe that parquet min/max stats prune
+  // to ~one row-group — O(log) file/row-group selection, independent
+  // of corpus size. The index is rebuildable metadata (~12 bytes/doc
+  // at rest), carries a chunk-set fingerprint, and every lookup
+  // validates freshness — a stale or absent index falls back to the
+  // bloom path, never to a wrong answer.
+
+  def docIndexPath(outDir: String) = s"$outDir/doc_index"
+  private def docIndexFpPath(outDir: String) =
+    new org.apache.hadoop.fs.Path(outDir, "_doc_index.fp")
+
+  /** Order-independent fingerprint of the chunk-id set — one tiny
+    * single-column agg; pairs the index with the exact chunks table it
+    * was built from.
+    */
+  private def chunkSetFingerprint(spark: SparkSession, outDir: String): String = {
+    val r = spark.read
+      .schema(org.apache.spark.sql.Encoders.product[EncodedChunk].schema)
+      .parquet(chunksPath(outDir))
+      .select(xxhash64(col("chunk_id")).as("h"))
+      .agg(count(lit(1)), sum(col("h").cast("decimal(20,0)"))).first()
+    val s = if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString
+    s"${r.getLong(0)}:$s"
+  }
+
+  /** Build (or rebuild) the doc_id → chunk_id index for an encoded
+    * directory. Payload-free: reads only the three small encoded index
+    * columns ([[readDocIndex]]), writes doc-sorted parquet. One range
+    * shuffle of (doc_id, chunk_id) pairs — metadata-priced at any
+    * scale. Derived data: safe to rebuild at any time; concurrent
+    * encodes invalidate it via the fingerprint, not via locking.
+    */
+  def buildDocIndex(spark: SparkSession, outDir: String, indexFiles: Int = 0): Unit = {
+    val pairs = readDocIndex(spark, outDir).toDF()
+      .select(col("doc_id"), col("chunk_id"))
+    val files =
+      if (indexFiles > 0) indexFiles
+      else {
+        val nChunks = spark.read
+          .schema(org.apache.spark.sql.Encoders.product[EncodedChunk].schema)
+          .parquet(chunksPath(outDir))
+          .select(col("chunk_id")).count()
+        // ~8 chunks' doc ids per index file keeps files in the low MBs
+        math.max(1, (nChunks / 8).toInt)
+      }
+    pairs.repartitionByRange(files, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode(SaveMode.Overwrite).option("compression", "zstd")
+      .parquet(docIndexPath(outDir))
+    val fs = fsOf(spark, outDir)
+    val out = fs.create(docIndexFpPath(outDir), true)
+    try out.write(chunkSetFingerprint(spark, outDir).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Candidate chunk ids for a key set via the index, or None when the
+    * index is absent or stale (its fingerprint no longer matches the
+    * chunk-id set — e.g. chunks appended since the build). The probe is
+    * a pushed isin filter over doc-sorted parquet: min/max stats prune
+    * to the few row-groups covering the keys.
+    */
+  def lookupChunkIdsViaIndex(
+      spark: SparkSession,
+      outDir: String,
+      docIds: Seq[String]
+  ): Option[Seq[Long]] = {
+    import spark.implicits._
+    val fs = fsOf(spark, outDir)
+    if (!fs.exists(docIndexFpPath(outDir))) return None
+    val stored = {
+      val in = fs.open(docIndexFpPath(outDir))
+      try {
+        val buf = new Array[Byte](96)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), "UTF-8").trim
+      } finally in.close()
+    }
+    if (stored != chunkSetFingerprint(spark, outDir)) return None
+    Some(spark.read.parquet(docIndexPath(outDir))
+      .filter(col("doc_id").isin(docIds: _*))
+      .select(col("chunk_id")).distinct()
+      .as[Long].collect().toSeq)
+  }
+
+  /** Batch point lookup: all requested docs in one pass. Candidates
+    * come from the index when fresh (log-pruned probe), else from the
+    * range+bloom metadata scan; each surviving chunk is decoded ONCE
+    * for all its requested keys ([[Decoder.decodeDocsTokens]]).
+    */
+  def readTokensForDocIds(
+      spark: SparkSession,
+      outDir: String,
+      docIds: Seq[String]
+  ): Dataset[TokenRow] = {
+    import spark.implicits._
+    if (docIds.isEmpty) return spark.emptyDataset[TokenRow]
+    val keys = docIds.toSet
+    val ids = lookupChunkIdsViaIndex(spark, outDir, docIds).getOrElse {
+      // bloom path: one payload-free metadata scan, any-key semantics
+      withMetadataDefaults(spark.read
+        .schema(org.apache.spark.sql.Encoders.product[EncodedChunk].schema)
+        .parquet(chunksPath(outDir))
+        .drop("doc_ids_enc", "sources_enc", "lengths_enc", "tokens_enc"))
+        .filter(col("min_doc_id") <= docIds.max && col("max_doc_id") >= docIds.min)
+        .select(col("chunk_id"), col("min_doc_id"), col("max_doc_id"), col("doc_bloom"))
+        .as[(Long, String, String, Array[Byte])]
+        .filter { case (_, lo, hi, bloom) =>
+          docIds.exists(k => lo <= k && k <= hi && DocBloom.mayContain(bloom, k))
+        }
+        .map(_._1)
+        .collect()
+        .toSeq
+    }
+    val hit =
+      if (ids.isEmpty) readChunks(spark, outDir).filter(lit(false))
+      else if (ids.length <= 1024)
+        readChunks(spark, outDir).filter(col("chunk_id").isin(ids: _*))
+      else readChunks(spark, outDir)
+        .filter(col("max_doc_id") >= docIds.min && col("min_doc_id") <= docIds.max)
+    hit.flatMap(c => Decoder.decodeDocsTokens(c, keys))
   }
 
   /** Projection-aware metadata read: (chunk_id, doc_id, n_tok, source)

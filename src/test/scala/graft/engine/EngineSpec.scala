@@ -458,6 +458,58 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("inputs changed"), e.getMessage)
   }
 
+  test("doc index: exact chunk candidates, stale index falls back, batch decode is one pass") {
+    import spark.implicits._
+    val ds = Fixtures.tokenTable(spark, 1500, seed = 81, medianLen = 64, maxLen = 512, partitions = 4)
+    val out = tmpDir()
+    Pipeline.run(spark, ds, out, tokensPerChunk = 32 * 1024, waves = 1)
+    val total = Pipeline.readChunks(spark, out).count()
+    assert(total >= 4)
+    // no index yet: lookups must fall back (bloom path), not fail
+    assert(Pipeline.lookupChunkIdsViaIndex(spark, out, Seq("doc_000000000007")).isEmpty)
+    Pipeline.buildDocIndex(spark, out)
+    val keys = Seq("doc_000000000007", "doc_000000000433", "doc_000000001111")
+    // the index is exact: no bloom false positives, candidates are
+    // precisely the chunks holding the keys
+    val viaIndex = Pipeline.lookupChunkIdsViaIndex(spark, out, keys)
+    assert(viaIndex.isDefined)
+    val expectedChunks = Pipeline.readDocIndex(spark, out)
+      .filter(r => keys.contains(r.doc_id)).map(_.chunk_id).distinct().collect().sorted
+    assert(viaIndex.get.sorted.sameElements(expectedChunks),
+      s"index candidates ${viaIndex.get.sorted.toSeq} != exact $expectedChunks")
+    // batch read returns every requested doc bit-identically
+    val got = Pipeline.readTokensForDocIds(spark, out, keys).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(got.keySet == keys.toSet)
+    val src = ds.filter(r => keys.contains(r.doc_id)).collect()
+    src.foreach(r => assert(got(r.doc_id).tokens.sameElements(r.tokens)))
+    // the index probe is a pushed equality/in filter over doc-sorted
+    // parquet: assert the filter actually reaches the scan
+    val probe = spark.read.parquet(Pipeline.docIndexPath(out))
+      .filter(org.apache.spark.sql.functions.col("doc_id") === keys.head)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"), plan)
+    // append more chunks (content change) → fingerprint mismatch → the
+    // index reports stale and the single-key path still answers
+    // correctly through the bloom fallback
+    val extra = Fixtures.tokenTable(spark, 60, seed = 82, medianLen = 64, maxLen = 512, partitions = 1)
+      .map(r => r.copy(doc_id = "zz-" + r.doc_id))
+    Pipeline.run(spark, extra, out, tokensPerChunk = 32 * 1024, waves = 1,
+      inputSplit = "late")
+    assert(Pipeline.lookupChunkIdsViaIndex(spark, out, keys).isEmpty,
+      "stale index must not serve lookups")
+    val zz = extra.head()
+    val found = Pipeline.readTokensForDocId(spark, out, zz.doc_id).collect()
+    assert(found.length == 1 && found.head.tokens.sameElements(zz.tokens))
+    // rebuild restores the fast path over the grown table
+    Pipeline.buildDocIndex(spark, out)
+    val again = Pipeline.lookupChunkIdsViaIndex(spark, out, Seq(zz.doc_id))
+    assert(again.isDefined && again.get.nonEmpty)
+    // batch lookup with absent keys returns only the present ones
+    val mixed = Pipeline.readTokensForDocIds(spark, out, Seq(keys.head, "no-such-doc")).collect()
+    assert(mixed.length == 1 && mixed.head.doc_id == keys.head)
+  }
+
   test("compact: provably disjoint inputs skip the dedup shuffle; overlap does not") {
     import spark.implicits._
     val dsA = Fixtures.tokenTable(spark, 200, seed = 71, medianLen = 64, maxLen = 512, partitions = 2)
