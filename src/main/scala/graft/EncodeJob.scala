@@ -11,8 +11,11 @@ import graft.engine.{Admission, Chunker, Pipeline, Quota, ResourceExhausted, Tok
   *   [tokensPerChunk=4194304] [waves=16] [verify=true] [inputSplit=<tag>]
   *
   * // consumer read paths over an existing encoded table:
-  * spark-submit ... mode=lookup out=<output-dir> doc=<doc_id>  // stat-pruned point decode
+  * spark-submit ... mode=lookup out=<output-dir> doc=<id[,id2,...]>
+  *   // point decode, one or many keys; uses the doc-sorted index when
+  *   // fresh (mode=buildindex), else the stat+bloom metadata ladder
   * spark-submit ... mode=index  out=<output-dir>               // token-payload-free doc index
+  * spark-submit ... mode=buildindex out=<output-dir>           // build the doc-sorted lookup index
   * spark-submit ... mode=compact in=<dir1,dir2,...> out=<NEW-dir> \
   *   [tokensPerChunk=4194304] [waves=16] [verify=true]
   *   // fold several encoded tables (streaming micro-batch
@@ -49,6 +52,7 @@ object EncodeJob {
     opts.getOrElse("mode", "encode") match {
       case "lookup" => return readMode(opts, lookup = true)
       case "index" => return readMode(opts, lookup = false)
+      case "buildindex" => return buildIndexMode(opts)
       case "read" => return readBulkMode(opts)
       case "compact" => return compactMode(opts)
       case "encode" => ()
@@ -188,16 +192,38 @@ object EncodeJob {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (lookup) {
-      val doc = opts("doc")
-      val rows = Pipeline.readTokensForDocId(spark, out, doc).collect()
+      val docs = opts("doc").split(',').toSeq.filter(_.nonEmpty)
+      val rows =
+        if (docs.lengthCompare(1) == 0)
+          Pipeline.readTokensForDocId(spark, out, docs.head).collect()
+        else Pipeline.readTokensForDocIds(spark, out, docs).collect()
       rows.foreach { r =>
         println(s"""{"doc_id":"${r.doc_id}","source":"${r.source}","n_tok":${r.n_tok}}""")
       }
-      if (rows.isEmpty) println(s"""{"doc_id":"$doc","found":false}""")
+      val found = rows.map(_.doc_id).toSet
+      docs.filterNot(found).foreach(d => println(s"""{"doc_id":"$d","found":false}"""))
     } else {
       val n = Pipeline.readDocIndex(spark, out).count()
       println(s"""{"index_rows":$n,"out":"$out"}""")
     }
+    spark.stop()
+  }
+
+  /** mode=buildindex: (re)build the doc-sorted lookup index for an
+    * encoded directory ([[Pipeline.buildDocIndex]] — payload-free, one
+    * range shuffle of (doc_id, chunk_id) pairs).
+    */
+  private def buildIndexMode(opts: Map[String, String]): Unit = {
+    val out = opts("out")
+    val spark = SparkSession.builder()
+      .appName("graft-buildindex")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Pipeline.buildDocIndex(spark, out,
+      indexFiles = opts.getOrElse("indexFiles", "0").toInt)
+    val n = spark.read.parquet(Pipeline.docIndexPath(out)).count()
+    println(s"""{"index_rows":$n,"index":"${Pipeline.docIndexPath(out)}"}""")
     spark.stop()
   }
 }
