@@ -294,25 +294,22 @@ object SparkEntry {
     // into four disjoint 32-bit hex windows (the standard k-bands-from-
     // one-hash minhash construction): the per-band salted-md5 version
     // cost 4x the digest work, and md5 dominates this whole query
-    // family's CPU. Docs with < 3 words must yield an EMPTY shingle
-    // set: unguarded `sequence(1, size-2)` is descending for size<3 and
-    // `element_at(words, 0)` then throws under Spark 4 ANSI mode,
-    // whereas the DuckDB oracle's `range(1, len-1)` is simply empty —
-    // the CASE mirrors that.
+    // family's CPU. The shingle + band minima run as ONE typed-map
+    // kernel per doc (Analyzer.minhashBands — bit-identical md5; the
+    // SQL higher-order-function formulation evaluated interpreted with
+    // split(text) inlined per lambda element, 30x the cost). Docs with
+    // < 3 words yield all-NULL minima, matching the oracle's
+    // list_min(empty) = NULL.
     "q18_minhash" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
       t(s, dir, "documents")
-        .withColumn("words", split(col("text"), " "))
-        .withColumn("shingles", expr(
-          "CASE WHEN size(words) >= 3 THEN transform(sequence(1, size(words)-2), i -> " +
-            "concat_ws(' ', element_at(words,i), element_at(words,i+1), element_at(words,i+2))) " +
-            "ELSE CAST(array() AS array<string>) END"))
-        .withColumn("dg", expr("transform(shingles, x -> md5(x))"))
-        .select(
-          col("doc_id"),
-          expr("array_min(transform(dg, d -> substring(d, 1, 8)))").as("mh0"),
-          expr("array_min(transform(dg, d -> substring(d, 9, 8)))").as("mh1"),
-          expr("array_min(transform(dg, d -> substring(d, 17, 8)))").as("mh2"),
-          expr("array_min(transform(dg, d -> substring(d, 25, 8)))").as("mh3"))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val m = graft.text.Analyzer.minhashBands(text, k = 3)
+          (id, m(0), m(1), m(2), m(3))
+        }
+        .toDF("doc_id", "mh0", "mh1", "mh2", "mh3")
         .orderBy(col("doc_id"))
     }),
 
@@ -409,27 +406,26 @@ object SparkEntry {
     // without its probe-vs-25-docs demo scoping: the candidate set, not
     // the corpus square, bounds the exact-verify work at 10^9 docs.
     "q38_shingle_neardup_pairs" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-        .withColumn("words", split(col("text"), " "))
-        .withColumn("sh", expr(
-          "CASE WHEN size(words) >= 3 THEN array_distinct(transform(sequence(1, size(words)-2), i -> " +
-            "concat_ws(' ', element_at(words,i), element_at(words,i+1), element_at(words,i+2)))) " +
-            "ELSE CAST(array() AS array<string>) END"))
-        .select(col("doc_id"), col("sh"))
-      // one md5 per shingle, four 32-bit band windows (see q18)
-      val mh = d.withColumn("dg", expr("transform(sh, x -> md5(x))"))
-        .select(col("doc_id"),
-          posexplode(array((0 to 3).map(b =>
-            expr(s"array_min(transform(dg, d -> substring(d, ${1 + 8 * b}, 8)))")): _*))
-            .as(Seq("band", "bucket")))
+      val spark = s
+      import spark.implicits._
+      val docsRaw = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // one md5 per shingle, four 32-bit band windows, map-only typed
+      // kernel (see q18 — one pass per doc, band minima tracked in-row)
+      val mh = docsRaw.as[(Long, String)]
+        .map { case (id, text) =>
+          (id, graft.text.Analyzer.minhashBands(text, k = 3))
+        }
+        .toDF("doc_id", "mhs")
+        .select(col("doc_id"), posexplode(col("mhs")).as(Seq("band", "bucket")))
         .filter(col("bucket").isNotNull)
       // the candidate-pair set is tiny relative to the corpus (that is
       // the point of LSH), so persist it: without the persist the plan
       // re-runs the band self-join once per downstream use, and the
       // exact-verify joins below re-shingle the ENTIRE corpus once per
-      // side. Instead, semi-join documents down to candidate docs first
-      // (Catalyst pushes the semi join below the shingle projection),
-      // so verify-side shingling is O(candidate docs), not O(corpus) —
+      // side. Instead, semi-join documents down to candidate docs FIRST
+      // and only then shingle (explicit order — a typed map is opaque
+      // to Catalyst, so the semi join cannot be pushed below it), so
+      // verify-side shingling is O(candidate docs), not O(corpus) —
       // at 10^9 docs with ~1% candidates that is ~100x less transform
       // work and the only full-corpus shingle pass is the minhash one.
       val cand = mh.select(col("band"), col("bucket"), col("doc_id").as("a"))
@@ -440,7 +436,18 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val candDocs = cand.select(col("a").as("doc_id"))
         .union(cand.select(col("b").as("doc_id"))).distinct()
-      val candSh = d.join(candDocs, Seq("doc_id"), "left_semi")
+      // verify on 64-bit shingle fingerprints, not strings: only the
+      // PAIR IDENTITIES reach the output, so hashed intersect/union
+      // sizes are exact unless two distinct shingles collide in 64
+      // bits — and the oracle verifies with raw-string Jaccard, so a
+      // collision would fail the compare (same argument as q50). The
+      // candidate join ships 8 B/shingle instead of whole strings.
+      val candSh = docsRaw.join(candDocs, Seq("doc_id"), "left_semi")
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          (id, graft.text.Analyzer.wordShingleHash64(text, k = 3))
+        }
+        .toDF("doc_id", "sh")
       cand
         .join(candSh.select(col("doc_id").as("a"), col("sh").as("sha")), Seq("a"))
         .join(candSh.select(col("doc_id").as("b"), col("sh").as("shb")), Seq("b"))
@@ -641,25 +648,36 @@ object SparkEntry {
     // test-set DECONTAMINATION: flag training docs sharing any 5-word
     // shingle with a held-out benchmark set (here: the Mix 2% key slice
     // — in production the benchmark suite itself). Scale shape: the
-    // benchmark index is small BY DEFINITION, so its md5'd shingle set
-    // (constant 32B per shingle regardless of text length) broadcasts
-    // and the 100 TB training side never shuffles except the final
-    // per-doc count. 5-gram width keeps common-phrase collisions out
+    // benchmark index is small BY DEFINITION, so its shingle set
+    // broadcasts and the 100 TB training side never shuffles except the
+    // final per-doc count. Shingles are fingerprinted to 64-bit longs
+    // in the typed kernel (Analyzer.wordShingleHash64 — 8 B/shingle
+    // regardless of text length bounds the broadcast and keeps the
+    // explode/join/countDistinct on longs). The hash never reaches the
+    // output — only the shared-shingle COUNT does — and the DuckDB
+    // oracle counts exact raw-string shingles, so an oracle pass
+    // doubles as a collision check at test scale (P ~ n^2/2^65).
+    // 5-gram width keeps common-phrase overlap out of the flags
     // (3-grams flag 347 docs at sf0.01, 5-grams the 4 true overlaps).
     "q50_decontaminate" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
       val thr = graft.sampling.Mix.thresholdHex(0.02)
-      val docs = t(s, dir, "documents")
-        .withColumn("k", graft.sampling.Mix.keyCol(col("doc_id")))
-        .withColumn("words", split(col("text"), " "))
-        .withColumn("sh", expr(
-          "CASE WHEN size(words) >= 5 THEN array_distinct(transform(sequence(1, size(words)-4), i -> " +
-            "md5(concat_ws(' ', element_at(words,i), element_at(words,i+1), element_at(words,i+2), " +
-            "element_at(words,i+3), element_at(words,i+4))))) " +
-            "ELSE CAST(array() AS array<string>) END"))
-        .select(col("doc_id"), col("k"), col("sh"))
-      val benchSh = docs.filter(col("k") < thr)
+      // the Mix key is computed BEFORE the shingle kernel so each
+      // side's filter prunes at the scan (a typed map is opaque to
+      // Catalyst — a post-map filter could not push below it) and the
+      // corpus is shingled exactly once across the two branches
+      val raw = t(s, dir, "documents")
+        .select(col("doc_id"), graft.sampling.Mix.keyCol(col("doc_id")).as("k"),
+          col("text"))
+      def shingled(df: DataFrame) = df.as[(Long, String, String)]
+        .map { case (id, _, text) =>
+          (id, graft.text.Analyzer.wordShingleHash64(text, k = 5))
+        }
+        .toDF("doc_id", "sh")
+      val benchSh = shingled(raw.filter(col("k") < thr))
         .select(explode(col("sh")).as("sh")).distinct()
-      docs.filter(col("k") >= thr)
+      shingled(raw.filter(col("k") >= thr))
         .select(col("doc_id"), explode(col("sh")).as("sh"))
         .join(broadcast(benchSh), "sh")
         .groupBy(col("doc_id"))
@@ -928,17 +946,16 @@ object SparkEntry {
     // Pure codegen'd SQL functions: explode -> 16 conditional partial
     // sums -> bit reassembly; no UDF, scales as a plain groupBy.
     "q31_simhash" -> ((s, dir) => {
-      val words = t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .select(col("doc_id"),
-          conv(substring(md5(col("w")), 1, 4), 16, 10).cast("int").as("h"))
-      val bitSums = (0 until 16).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)).as(s"b$b"))
-      words.groupBy(col("doc_id"))
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"),
-          (0 until 16).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-            .reduce(_ + _).as("simhash"))
+      // map-only typed kernel (Analyzer.simhash16): per-word md5 votes
+      // accumulate inside the row. The explode + groupBy(doc_id)
+      // formulation this replaces shuffled one row per corpus WORD —
+      // at 100 TB that shuffle, not the hashing, is the bottleneck.
+      val spark = s
+      import spark.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, graft.text.Analyzer.simhash16(text)) }
+        .toDF("doc_id", "simhash")
         .orderBy(col("doc_id"))
     }),
 
@@ -1364,15 +1381,17 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
         |FROM documents GROUP BY source, split ORDER BY source, split""".stripMargin,
 
-    // decontamination verbatim: same Mix key slice, same md5'd 5-word
-    // shingles (range is end-exclusive: i <= len-4, like sequence's
-    // inclusive 1..size-4)
+    // decontamination: same Mix key slice; the oracle counts EXACT
+    // raw-string 5-word shingles where Spark counts xxhash64
+    // fingerprints — equal unless a 64-bit collision occurs, so this
+    // compare is also the collision check (range is end-exclusive:
+    // i <= len-4, like sequence's inclusive 1..size-4)
     "q50_decontaminate" ->
       """WITH d AS (
         |  SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS k,
         |    list_distinct(list_transform(range(1, len(w) - 3),
-        |      i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
-        |               w[i+3] || ' ' || w[i+4]))) AS sh
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |           w[i+3] || ' ' || w[i+4])) AS sh
         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
         |bench AS (SELECT DISTINCT unnest(sh) AS s FROM d WHERE k < '051eb852'),
         |tr AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE k >= '051eb852')
