@@ -498,6 +498,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style repetition quality rule (Rae et al. 2021 §A1.1):
+    // per-doc word/2-gram repetition counts from a map-only typed
+    // kernel, flag = most-frequent-2-gram fraction >= 0.2 via integer
+    // cross-multiplication (5*max >= n), so the rule is value-exact in
+    // the oracle. Counts, not fractions, reach the output — no float
+    // compare anywhere.
+    "q54_repetition_stats" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val st = graft.text.Analyzer.repetitionStats(text)
+          val flag = if (st.n2grams > 0 && st.max2gramCount * 5 >= st.n2grams) 1L else 0L
+          (id, st.nWords, st.nDistinctWords, st.n2grams, st.max2gramCount, flag)
+        }
+        .toDF("doc_id", "n_words", "n_distinct_words", "n_2grams",
+          "max_2gram_count", "flag_repetitive")
+        .orderBy(col("doc_id"))
+    }),
+
+    // vocabulary induction: global word counts with a min-count floor,
+    // top-50 by (count desc, word asc) — the canonical partial-agg
+    // shape: the explode shuffles only (word, partial count) pairs
+    // after map-side combine, so the shuffle is bounded by vocab size
+    // per partition, not corpus words; the top-k is a
+    // TakeOrderedAndProject, never a global sort
+    "q55_vocab_topk" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 10)
+        .orderBy(col("n").desc, col("word"))
+        .limit(50)
+        .select(col("word"), col("n"))
+    }),
+
     // projection-aware decode: ids/lengths/sources read from an at-rest
     // chunks table WITHOUT touching the token payload — the scan prunes
     // tokens_enc (parquet column pruning) and the kernel skips token
@@ -1309,6 +1346,32 @@ object SparkEntry {
         |  CAST((SELECT sum(unicode(ch))
         |        FROM unnest(string_split(text, '')) AS u(ch)) AS BIGINT) AS token_sum
         |FROM documents WHERE doc_id IN (42, 123, 321) ORDER BY doc_id""".stripMargin,
+
+    // Gopher 2-gram repetition counts: range() is end-exclusive so
+    // list_transform(range(1, len(w)), ...) yields the len-1 2-grams;
+    // docs with < 2 words get max 0 via the LEFT JOIN coalesce
+    "q54_repetition_stats" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g2
+        |      FROM w),
+        |gc AS (SELECT doc_id, g2, count(*) AS c FROM g GROUP BY doc_id, g2),
+        |m AS (SELECT doc_id, max(c) AS mx FROM gc GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  CAST(len(w.w) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(w.w)) AS BIGINT) AS n_distinct_words,
+        |  CAST(greatest(len(w.w) - 1, 0) AS BIGINT) AS n_2grams,
+        |  CAST(coalesce(m.mx, 0) AS BIGINT) AS max_2gram_count,
+        |  CAST(CASE WHEN len(w.w) > 1 AND coalesce(m.mx, 0) * 5 >= len(w.w) - 1
+        |       THEN 1 ELSE 0 END AS BIGINT) AS flag_repetitive
+        |FROM w LEFT JOIN m ON w.doc_id = m.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
+
+    "q55_vocab_topk" ->
+      """SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY w HAVING count(*) >= 10
+        |ORDER BY n DESC, word LIMIT 50""".stripMargin,
 
     "q27_decode_meta_only" ->
       """SELECT source, count(*) AS n_docs,

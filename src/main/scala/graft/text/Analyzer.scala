@@ -164,6 +164,38 @@ object Analyzer {
     sig
   }
 
+  // --------------------------------------------- repetition quality
+
+  /** Per-document repetition counts for Gopher-style quality rules
+    * (Rae et al. 2021, "Scaling Language Models: ... Gopher", §A1.1:
+    * filter docs whose most frequent 2-gram exceeds a fraction of all
+    * 2-grams, or with a high duplicate-word fraction). Counts only —
+    * integer-exact, thresholds applied by the caller so the rule stays
+    * oracle-checkable without float compares.
+    */
+  final case class RepetitionStats(
+      nWords: Long, nDistinctWords: Long, n2grams: Long, max2gramCount: Long)
+
+  def repetitionStats(text: String): RepetitionStats = {
+    val w = words(text)
+    val distinct = new java.util.HashSet[String]()
+    var i = 0
+    while (i < w.length) { distinct.add(w(i)); i += 1 }
+    if (w.length < 2)
+      return RepetitionStats(w.length.toLong, distinct.size.toLong, 0L, 0L)
+    val counts = new java.util.HashMap[String, Int]()
+    var max = 0
+    i = 0
+    while (i + 2 <= w.length) {
+      val g = w(i) + " " + w(i + 1)
+      val c = counts.merge(g, 1, Integer.sum)
+      if (c > max) max = c
+      i += 1
+    }
+    RepetitionStats(w.length.toLong, distinct.size.toLong,
+      (w.length - 1).toLong, max.toLong)
+  }
+
   /** splitmix64 finalizer (public-domain constant schedule) — shared by
     * [[winnow]]'s gram hash and [[wordShingleHash64]].
     */

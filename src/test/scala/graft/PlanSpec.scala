@@ -72,6 +72,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"events scan reads columns the windowing never uses: $read")
   }
 
+  test("q55 vocab top-k: partial agg before the word shuffle, top-k not global sort") {
+    val df = SparkEntry.queries("q55_vocab_topk")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    // the explode emits one row per corpus WORD; the map-side combine
+    // must collapse that to (word, partial count) per partition before
+    // the exchange, and the final top-50 must be a TakeOrderedAndProject
+    // (heap per partition + merge), never a full sort of the vocabulary
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no map-side partial aggregation")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k is not TakeOrderedAndProject:\n$p")
+    // only `text` is read — doc_id/lang/source/n_chars never touched
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("text") && !read.contains("n_chars") && !read.contains("source"),
+      s"vocab scan reads columns it never uses: $read")
+  }
+
   test("q48/q49 mix sampling: map-only predicate, single partial-agg shuffle") {
     for (q <- Seq("q48_source_mix_sample", "q49_split_assign")) {
       val p = plan(q)

@@ -41,4 +41,24 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(Analyzer.langId(noise) == "other")
     assert(Analyzer.englishScore("") == 0.0)
   }
+
+  test("repetition stats: counts, edge cases, Gopher flag arithmetic") {
+    import Analyzer.{repetitionStats => rs, RepetitionStats}
+    // "a b a b a" -> words 5, distinct 2, 2-grams 4: "a b" x2, "b a" x2
+    assert(rs("a b a b a") == RepetitionStats(5, 2, 4, 2))
+    // all-identical doc: one distinct 2-gram occurring n-1 times
+    assert(rs("x x x x") == RepetitionStats(4, 1, 3, 3))
+    // no repetition
+    assert(rs("a b c d") == RepetitionStats(4, 4, 3, 1))
+    // short docs: 0 2-grams, max 0
+    assert(rs("one") == RepetitionStats(1, 1, 0, 0))
+    assert(rs("") == RepetitionStats(1, 1, 0, 0)) // split(' ') of "" = [""]
+    // empty tokens from double spaces count as words (split semantics)
+    assert(rs("a  b") == RepetitionStats(3, 3, 2, 1))
+    // flag threshold is caller-side integer math: 5*max >= n2
+    val st = rs("a b a b a")
+    assert(st.max2gramCount * 5 >= st.n2grams) // 10 >= 4: repetitive
+    val ok = rs((1 to 20).map(i => s"w$i").mkString(" "))
+    assert(!(ok.max2gramCount * 5 >= ok.n2grams)) // 5 < 19: clean
+  }
 }
