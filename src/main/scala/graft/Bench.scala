@@ -679,16 +679,22 @@ object Bench {
       // sustained capacity-limited phase (zero steal, agreeing highs,
       // healthy multi-thread canary, passes 3x the true clean time)
       // passes every relative detector and its ~0.45 "efficiency"
-      // would be sold as clean. The previous generation's floors ×1.05
-      // (an upper bound on any intentional single-version cost change;
-      // real changes are ~1-3%) seed the new file: conservative in the
-      // honest direction — a floor set slightly low can only REJECT
-      // marginal pairs, never admit storm-polluted ones.
+      // would be sold as clean. The NEWEST older generation's floors
+      // seed the new file unchanged (×1.0): intentional cost changes
+      // are ~1-3%, so the old floor is at most slightly LOW for the new
+      // build — conservative in the honest direction, since a low floor
+      // can only REJECT marginal pairs, never admit storm-polluted ones
+      // (scaling a floor UP would loosen the nearBest admission gate).
+      // The walk goes all the way to v1 so two bumps landing between
+      // runs (the intermediate version's file never written) still
+      // migrate instead of cold-starting.
       val histBest: Map[Int, Double] = {
         val own = readFloors(bestPassFile)
         if (own.nonEmpty) own
-        else readFloors(new java.io.File(base, s"best_pass_v${FloorVersion - 1}.json"))
-          .map { case (c, v) => c -> v * 1.05 }
+        else (FloorVersion - 1 to 1 by -1).iterator
+          .map(v => readFloors(new java.io.File(base, s"best_pass_v$v.json")))
+          .find(_.nonEmpty)
+          .getOrElse(Map.empty)
       }
 
       // calm-launch gate: storms come in 20-40 min waves with calm
@@ -704,7 +710,7 @@ object Bench {
         val ec = effectiveCores(highCpus)
         lastEffCores = ec
         if (ec > bestEffCores) { bestEffCores = ec
-          setEnc("effective_cores_best" -> f"$ec%.1f") }
+          setEnc("effective_cores_best" -> BenchEmit.num(ec, 1)) }
         ec
       }
       def awaitCalm(maxWaitSecs: Double): Boolean = {
@@ -745,13 +751,13 @@ object Bench {
         val t = warmBudget + 240 // child-side watchdog + grace
         if (lowAlive) try {
           val w = low.awaitReady(t)
-          setEnc("warmup_secs_low" -> f"$w%.1f")
+          setEnc("warmup_secs_low" -> BenchEmit.num(w, 1))
           if (low.warmDegraded) degraded = true
         } catch { case e: ChildDied => lowAlive = false; degraded = true
           setEnc("fatal_child" -> jstr(e.getMessage)) }
         if (highAlive) try {
           val w = high.awaitReady(t)
-          setEnc("warmup_secs_high" -> f"$w%.1f")
+          setEnc("warmup_secs_high" -> BenchEmit.num(w, 1))
           if (high.warmDegraded) degraded = true
         } catch { case e: ChildDied => highAlive = false; degraded = true
           setEnc("fatal_child" -> jstr(e.getMessage)) }
@@ -778,29 +784,29 @@ object Bench {
             // bytes_per_token is DISK bytes (after the file-level zstd
             // the format stacks on the codecs — the number BASELINE.md
             // quotes); pre_zstd_bytes_per_token is the raw codec output
-            "pre_zstd_bytes_per_token" -> f"${encBytes.toDouble / sToks}%.4f",
-            "bytes_per_token" -> f"${ourBytes.toDouble / sToks}%.4f",
+            "pre_zstd_bytes_per_token" -> BenchEmit.num(encBytes.toDouble / sToks, 4),
+            "bytes_per_token" -> BenchEmit.num(ourBytes.toDouble / sToks, 4),
             "our_disk_bytes" -> ourBytes.toString,
-            "size_vs_stock" -> f"${ourBytes.toDouble / stockBytes}%.4f")
+            "size_vs_stock" -> BenchEmit.num(ourBytes.toDouble / stockBytes, 4))
         }
       }
       pushStats()
 
       def refreshDerived(prevCanary: Double, bestCanary: Double): Unit = {
-        if (lowSecs.nonEmpty) setEnc("secs_low" -> f"${lowSecs.min}%.2f",
+        if (lowSecs.nonEmpty) setEnc("secs_low" -> BenchEmit.num(lowSecs.min, 2),
           "tokens_per_sec_low" -> (toks / lowSecs.min).toLong.toString)
-        if (highSecs.nonEmpty) setEnc("secs_high" -> f"${highSecs.min}%.2f",
+        if (highSecs.nonEmpty) setEnc("secs_high" -> BenchEmit.num(highSecs.min, 2),
           "tokens_per_sec_high" -> (toks / highSecs.min).toLong.toString)
         setEnc("measured_pairs" -> pairRecords.length.toString,
           "pass_attempts" -> attempts.toString,
-          "ambient_canary_secs" -> f"$bestCanary%.2f")
+          "ambient_canary_secs" -> BenchEmit.num(bestCanary, 2))
         // per-level minima estimate: storms only slow passes, so each
         // level's minimum is its least-polluted observation — but the
         // two minima may come from DIFFERENT ambient windows, so this is
         // the SECONDARY estimate (see scaling_efficiency selection)
         if (lowSecs.nonEmpty && highSecs.nonEmpty) {
           val eff = ((toks / highSecs.min) / (toks / lowSecs.min)) / (highCpus.toDouble / lowCpus)
-          setEnc("scaling_efficiency_minima" -> f"$eff%.3f")
+          setEnc("scaling_efficiency_minima" -> BenchEmit.num(eff, 3))
         }
         // same-ambient clean pairs: near-best recomputed against the
         // CURRENT best pair cost (a stormy first pair is never
@@ -820,7 +826,7 @@ object Bench {
           setEnc("clean_passes" -> clean.length.toString)
           if (clean.nonEmpty) {
             val paired = pairedEfficiency(clean, ratio).get
-            setEnc("scaling_efficiency_paired" -> f"$paired%.3f")
+            setEnc("scaling_efficiency_paired" -> BenchEmit.num(paired, 3))
           } else
             // a pair judged clean mid-run can be un-cleaned by the final
             // near-best recompute — drop its stale paired estimate too
@@ -867,7 +873,7 @@ object Bench {
           else { high = fork(highCpus); highAlive = true }
           try {
             val w = if (which == "low") low.awaitReady(warmBudget + 240) else high.awaitReady(warmBudget + 240)
-            setEnc(s"warmup_secs_${which}_restart" -> f"$w%.1f")
+            setEnc(s"warmup_secs_${which}_restart" -> BenchEmit.num(w, 1))
           } catch {
             case e2: ChildDied =>
               if (which == "low") lowAlive = false else highAlive = false
@@ -989,7 +995,7 @@ object Bench {
       decodeFrom.foreach { case (c, dc) =>
         try c.decode(math.max(180, math.min(600, leftSecs + 120))).foreach { case (ds, dt) =>
           setEnc("decode_cpus" -> dc.toString,
-            "decode_secs" -> f"$ds%.2f",
+            "decode_secs" -> BenchEmit.num(ds, 2),
             "decode_tokens_per_sec" -> (dt / ds).toLong.toString)
         } catch { case e: ChildDied => setEnc("fatal_child" -> jstr(e.getMessage)) }
       }

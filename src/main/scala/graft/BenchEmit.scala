@@ -27,6 +27,14 @@ object BenchEmit {
     */
   final val MaxLen = 1500
 
+  /** Locale-pinned numeric formatting. The f-interpolator formats with
+    * the JVM default locale; a comma-decimal locale (de, fr, ...) would
+    * turn every fraction into `60,300` — malformed JSON, i.e. the exact
+    * lost-official-result failure this object exists to prevent.
+    */
+  def num(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, "%." + decimals + "f", Double.box(v))
+
   def jstr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -50,14 +58,14 @@ object BenchEmit {
       fatal: Option[String],
       encFields: Seq[(String, String)]
   ): String = {
-    val qs = qmap(results.map { case (k, v) => k -> f"$v%.3f" })
+    val qs = qmap(results.map { case (k, v) => k -> num(v, 3) })
     val errs = qmap(errors.map { case (k, v) => k -> jstr(v.take(300)) })
     val total = results.map(_._2).filter(_ >= 0).sum
     val enc = qmap(encFields)
     val fatalJson = fatal.map(jstr).getOrElse("null")
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+    s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,""" +
       s""""errors":$errs,"sf":${jstr(sfDir)},"degraded":$degraded,""" +
-      f""""wall_secs":$wallSecs%.1f,"fatal":$fatalJson,"encode":$enc}"""
+      s""""wall_secs":${num(wallSecs, 1)},"fatal":$fatalJson,"encode":$enc}"""
   }
 
   /** Encode fields worth carrying in the headline, in emit order. The
@@ -100,7 +108,7 @@ object BenchEmit {
   ): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
     val keyOf = shortKeys(results.map(_._1))
-    val qs = qmap(results.map { case (k, v) => keyOf(k) -> f"$v%.2f" })
+    val qs = qmap(results.map { case (k, v) => keyOf(k) -> num(v, 2) })
     val encSeq = {
       val m = encFields.toMap
       EncodeHeadlineKeys.flatMap(k => m.get(k).map(k -> _))
@@ -108,8 +116,8 @@ object BenchEmit {
     val enc = qmap(encSeq)
     val fatalJson = fatal.map(f => jstr(f.take(120))).getOrElse("null")
     def head(extra: String) =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":${jstr(sfDir)},""" +
-        f""""degraded":$degraded,"wall_secs":$wallSecs%.1f,"fatal":$fatalJson,""" +
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":${jstr(sfDir)},""" +
+        s""""degraded":$degraded,"wall_secs":${num(wallSecs, 1)},"fatal":$fatalJson,""" +
         s""""full_report":"BENCH_FULL.json",$extra"encode":$enc}"""
     val errShort = qmap(errors.take(3).map { case (k, v) =>
       keyOf.getOrElse(k, k) -> jstr(v.take(40))
@@ -121,8 +129,8 @@ object BenchEmit {
     ladder.find(_.length < MaxLen).getOrElse(
       // unreachable unless encode fields themselves explode; keep the
       // invariant anyway by dropping them too
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":${jstr(sfDir)},""" +
-        f""""degraded":$degraded,"wall_secs":$wallSecs%.1f,"fatal":null,""" +
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":${jstr(sfDir)},""" +
+        s""""degraded":$degraded,"wall_secs":${num(wallSecs, 1)},"fatal":null,""" +
         s""""full_report":"BENCH_FULL.json","query_count":${results.size}}""")
   }
 }

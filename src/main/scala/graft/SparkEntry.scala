@@ -79,8 +79,19 @@ object SparkEntry {
     * per (dir, tokensPerChunk) per JVM, reused across queries.
     */
   private val chunkDirCache = scala.collection.concurrent.TrieMap.empty[(String, Long, Long), String]
-  def chunksDirFor(s: SparkSession, dir: String, tokensPerChunk: Long): String =
-    chunkDirCache.getOrElseUpdate((dir, tokensPerChunk, dirStamp(s"$dir/documents.parquet")), {
+  def chunksDirFor(s: SparkSession, dir: String, tokensPerChunk: Long): String = {
+    val stamp = dirStamp(s"$dir/documents.parquet")
+    // same-key entries with a different content stamp are superseded
+    // fixtures: delete their at-rest scratch (a full encoded-corpus
+    // copy each — a long-lived JVM regenerating fixtures would
+    // otherwise grow scratch by one copy per regeneration) and drop
+    // the dead entry, mirroring chunkCache's unpersist-then-drop
+    chunkDirCache.filterInPlace { case ((d, t, st), tmp) =>
+      val keep = !(d == dir && t == tokensPerChunk && st != stamp)
+      if (!keep) graft.engine.Verifier.rmTree(tmp)
+      keep
+    }
+    chunkDirCache.getOrElseUpdate((dir, tokensPerChunk, stamp), {
       val tmp = java.nio.file.Files.createTempDirectory(scratchRoot, "chunks-at-rest").toString
       chunksFor(s, dir, tokensPerChunk)
         .write.mode("overwrite").option("compression", "zstd")
@@ -88,6 +99,7 @@ object SparkEntry {
         .parquet(graft.engine.Pipeline.chunksPath(tmp))
       tmp
     })
+  }
 
   /** documents → input_hint-shaped token table: tokens = unicode code
     * points of `text` (deterministic, oracle-checkable: DuckDB
@@ -490,9 +502,14 @@ object SparkEntry {
       import spark.implicits._
       val tmp = chunksDirFor(s, dir, tokensPerChunk = 16384)
       val keys = Seq("42", "123", "321")
-      if (graft.engine.Pipeline.lookupChunkIdsViaIndex(s, tmp, keys).isEmpty)
+      // one probe decides build-or-lookup AND supplies the candidates —
+      // a fresh-index lookup pays exactly one freshness check + probe
+      val ids = graft.engine.Pipeline.lookupChunkIdsViaIndex(s, tmp, keys).getOrElse {
         graft.engine.Pipeline.buildDocIndex(s, tmp)
-      graft.engine.Pipeline.readTokensForDocIds(s, tmp, keys)
+        graft.engine.Pipeline.lookupChunkIdsViaIndex(s, tmp, keys)
+          .getOrElse(sys.error(s"doc index stale immediately after build in $tmp"))
+      }
+      graft.engine.Pipeline.readTokensForChunkIds(s, tmp, ids, keys)
         .map(r => (r.doc_id.toLong, r.source, r.n_tok.toLong, r.tokens.foldLeft(0L)(_ + _)))
         .toDF("doc_id", "source", "n_tok", "token_sum")
         .orderBy(col("doc_id"))
@@ -556,8 +573,11 @@ object SparkEntry {
     // Cap: Selector.exactDistinct tracks at most 2^16 distinct values
     // and returns the -1 sentinel above that; the sentinel is surfaced
     // as NULL ("unknown — decode the payload"), never as a fake count.
+    // 2^30 is the largest accepted target (chunk token streams are
+    // Int-indexed arrays) and still yields one chunk per source at
+    // every test SF — the single-chunk-per-source demo shape
     "q28_distinct_from_metadata" -> ((s, dir) => {
-      chunksFor(s, dir, tokensPerChunk = 1L << 40)
+      chunksFor(s, dir, tokensPerChunk = 1L << 30)
         .toDF()
         .select(col("part_source").as("source"),
           when(col("token_cardinality") >= 0, col("token_cardinality").cast("long"))
@@ -1191,7 +1211,8 @@ object SparkEntry {
         |  CAST(sum(cp_sum) AS BIGINT) AS token_sum
         |FROM (
         |  SELECT source,
-        |    (SELECT sum(unicode(ch)) FROM unnest(string_split(text, '')) AS u(ch)) AS cp_sum
+        |    coalesce((SELECT sum(unicode(ch)) FROM unnest(string_split(text, '')) AS u(ch)
+        |              WHERE ch <> ''), 0) AS cp_sum
         |  FROM documents)
         |GROUP BY source ORDER BY source""".stripMargin,
 
@@ -1341,10 +1362,14 @@ object SparkEntry {
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tok
         |FROM documents WHERE doc_id = 42 ORDER BY doc_id""".stripMargin,
 
+    // ch <> '' + coalesce: string_split('', '') yields [''] and
+    // unicode('') = -1, which would score an empty doc as token_sum -1
+    // where the Spark fold over zero tokens gives 0
     "q53_doc_index_lookup" ->
       """SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_tok,
-        |  CAST((SELECT sum(unicode(ch))
-        |        FROM unnest(string_split(text, '')) AS u(ch)) AS BIGINT) AS token_sum
+        |  CAST(coalesce((SELECT sum(unicode(ch))
+        |        FROM unnest(string_split(text, '')) AS u(ch)
+        |        WHERE ch <> ''), 0) AS BIGINT) AS token_sum
         |FROM documents WHERE doc_id IN (42, 123, 321) ORDER BY doc_id""".stripMargin,
 
     // Gopher 2-gram repetition counts: range() is end-exclusive so
@@ -1411,7 +1436,8 @@ object SparkEntry {
     "q47_pack_examples" ->
       """WITH plan AS (
         |  SELECT source, length(text) AS n_tok,
-        |    (SELECT sum(unicode(ch)) FROM unnest(string_split(text, '')) AS u(ch)) AS cp_sum,
+        |    coalesce((SELECT sum(unicode(ch)) FROM unnest(string_split(text, '')) AS u(ch)
+        |              WHERE ch <> ''), 0) AS cp_sum,
         |    CAST((sum(length(text)) OVER (PARTITION BY source
         |        ORDER BY CAST(doc_id AS VARCHAR) ROWS UNBOUNDED PRECEDING)
         |      - length(text)) // 2048 AS BIGINT) AS bin
@@ -1659,7 +1685,8 @@ object SparkEntry {
       s"""WITH bytes AS (
          |  SELECT d.doc_id, t.b
          |  FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, unicode(ch) AS c
-         |        FROM documents, unnest(string_split(text, '')) AS u(ch)) d,
+         |        FROM documents, unnest(string_split(text, '')) AS u(ch)
+         |        WHERE ch <> '') d,
          |       unnest(CASE
          |         WHEN c < 128 THEN [c]
          |         WHEN c < 2048 THEN [192 + c // 64, 128 + c % 64]

@@ -56,6 +56,15 @@ object Chunker {
       tokensPerChunk: Long = DefaultTokensPerChunk,
       planTag: String = ""
   ): DataFrame = {
+    // a chunk's token stream is one Int-indexed array in the encode
+    // kernel (and the point-decode paths compute Int slice offsets
+    // into it), so the target size must leave headroom for the
+    // last-doc overshoot; reject absurd CLI values up front instead
+    // of failing deep inside a 100 TB encode
+    require(tokensPerChunk >= 1 && tokensPerChunk <= (1L << 30),
+      s"tokensPerChunk must be in [1, 2^30], got $tokensPerChunk " +
+        "(a chunk's tokens are one Int-indexed array; 2^30 leaves 2x headroom " +
+        "for the final doc's overshoot)")
     // pre-pass 1: token mass per source -> base bucket count per source.
     // |sources| is tiny relative to rows; broadcast it.
     val perSource = df

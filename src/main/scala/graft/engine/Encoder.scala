@@ -90,8 +90,12 @@ object Encoder {
       lengths += r.tokens.length
       toks.add(r.tokens)
       rawBytes += 4L * r.tokens.length + r.doc_id.length + r.source.length + 4L
-      if (minDoc == null || r.doc_id < minDoc) minDoc = r.doc_id
-      if (maxDoc == null || r.doc_id > maxDoc) maxDoc = r.doc_id
+      // Utf8Order, not <: the stored bounds are later compared by Spark
+      // column predicates (UTF-8 byte order); Java's UTF-16 compare
+      // disagrees for supplementary-plane ids and would store bounds
+      // that exclude a contained key (range pruning would drop a hit)
+      if (minDoc == null || Utf8Order.lt(r.doc_id, minDoc)) minDoc = r.doc_id
+      if (maxDoc == null || Utf8Order.gt(r.doc_id, maxDoc)) maxDoc = r.doc_id
     }
     val n = docIds.length
     // token value bounds for chunk-stat pruning (one cheap pass; the
@@ -287,6 +291,12 @@ object Decoder {
     var off = 0L
     i = 0
     while (i < lengths.length) { offsets(i) = off; off += lengths(i); i += 1 }
+    // any encodable chunk's token stream is one Int-indexed array
+    // (encodeChunk builds it), so every in-chunk offset fits an Int;
+    // guard the narrowing anyway — corrupt lengths metadata must fail
+    // loudly, not slice at a wrapped offset
+    require(off <= Int.MaxValue,
+      s"chunk ${c.chunk_id} claims $off tokens — exceeds the Int-indexed chunk bound")
     hits.iterator.map { idx =>
       val toks = IntCodec.decodeRange(c.tokens_enc, offsets(idx).toInt, lengths(idx))
       TokenRow(docIds(idx), toks, lengths(idx), sources(idx))

@@ -249,8 +249,13 @@ object Pipeline {
       (Option(r.getString(0)), Option(r.getString(1)))
     }
     val nonEmpty = ranges.collect { case (Some(lo), Some(hi)) => (lo, hi) }
-    val rangesDisjoint = nonEmpty.sortBy(_._1).sliding(2).forall {
-      case Seq((_, aHi), (bLo, _)) => aHi < bLo
+    // Utf8Order throughout: the per-dir bounds were aggregated by Spark
+    // in UTF-8 byte order, so the driver-side disjointness proof must
+    // sort and compare in the SAME order — mixing in Java's UTF-16
+    // compare could declare overlapping supplementary-plane ranges
+    // disjoint and wrongly skip the dedup
+    val rangesDisjoint = nonEmpty.sortBy(_._1)(Utf8Order).sliding(2).forall {
+      case Seq((_, aHi), (bLo, _)) => Utf8Order.lt(aHi, bLo)
       case _ => true
     }
     val provablyUnique = rangesDisjoint && inDirs.forall { d =>
@@ -325,14 +330,7 @@ object Pipeline {
         s"compact target $outDir holds a chunks table from a different input set " +
           s"(${splits.mkString(", ")}); compaction writes a NEW table or resumes its own partial output")
       if (fs.exists(fpFile)) {
-        val stored = {
-          val in = fs.open(fpFile)
-          try {
-            val buf = new Array[Byte](64) // a Long prints in <= 20 chars
-            val n = in.read(buf)
-            new String(buf, 0, math.max(n, 0), "UTF-8").trim
-          } finally in.close()
-        }
+        val stored = readSmallText(fs, fpFile, 64) // a Long prints in <= 20 chars
         require(stored == contentFp.toString,
           s"compact inputs changed since the partial run in $outDir " +
             s"(fingerprint $stored -> $contentFp); inputs must be immutable across " +
@@ -469,6 +467,13 @@ object Pipeline {
     * encodes invalidate it via the fingerprint, not via locking.
     */
   def buildDocIndex(spark: SparkSession, outDir: String, indexFiles: Int = 0): Unit = {
+    // fingerprint FIRST, then read the pairs: chunks appended while the
+    // (long) index write runs are then absent from the STORED
+    // fingerprint too, so the next lookup sees stored != current and
+    // falls back — computing it after the write would capture the
+    // appended chunks in the fingerprint but not in the index, making
+    // a stale index validate as fresh
+    val fpAtStart = chunkSetFingerprint(spark, outDir)
     val pairs = readDocIndex(spark, outDir).toDF()
       .select(col("doc_id"), col("chunk_id"))
     val files =
@@ -487,8 +492,27 @@ object Pipeline {
       .parquet(docIndexPath(outDir))
     val fs = fsOf(spark, outDir)
     val out = fs.create(docIndexFpPath(outDir), true)
-    try out.write(chunkSetFingerprint(spark, outDir).getBytes("UTF-8"))
+    try out.write(fpAtStart.getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** Whole small file as trimmed UTF-8, short-read safe (Hadoop input
+    * streams may return fewer bytes than asked — a single read() can
+    * truncate the fingerprint and poison the comparison).
+    */
+  private def readSmallText(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      cap: Int
+  ): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](cap)
+      var off = 0
+      var n = 0
+      while (off < cap && { n = in.read(buf, off, cap - off); n > 0 }) off += n
+      new String(buf, 0, off, "UTF-8").trim
+    } finally in.close()
   }
 
   /** Candidate chunk ids for a key set via the index, or None when the
@@ -505,14 +529,7 @@ object Pipeline {
     import spark.implicits._
     val fs = fsOf(spark, outDir)
     if (!fs.exists(docIndexFpPath(outDir))) return None
-    val stored = {
-      val in = fs.open(docIndexFpPath(outDir))
-      try {
-        val buf = new Array[Byte](96)
-        val n = in.read(buf)
-        new String(buf, 0, math.max(n, 0), "UTF-8").trim
-      } finally in.close()
-    }
+    val stored = readSmallText(fs, docIndexFpPath(outDir), 96)
     if (stored != chunkSetFingerprint(spark, outDir)) return None
     Some(spark.read.parquet(docIndexPath(outDir))
       .filter(col("doc_id").isin(docIds: _*))
@@ -532,29 +549,54 @@ object Pipeline {
   ): Dataset[TokenRow] = {
     import spark.implicits._
     if (docIds.isEmpty) return spark.emptyDataset[TokenRow]
-    val keys = docIds.toSet
     val ids = lookupChunkIdsViaIndex(spark, outDir, docIds).getOrElse {
-      // bloom path: one payload-free metadata scan, any-key semantics
+      // bloom path: one payload-free metadata scan, any-key semantics.
+      // Utf8Order for the driver/kernel-side key extremes and bound
+      // compares — they must agree with the Spark column predicate and
+      // the stored bounds, both UTF-8 byte order
+      val kMax = docIds.max(Utf8Order)
+      val kMin = docIds.min(Utf8Order)
       withMetadataDefaults(spark.read
         .schema(org.apache.spark.sql.Encoders.product[EncodedChunk].schema)
         .parquet(chunksPath(outDir))
         .drop("doc_ids_enc", "sources_enc", "lengths_enc", "tokens_enc"))
-        .filter(col("min_doc_id") <= docIds.max && col("max_doc_id") >= docIds.min)
+        .filter(col("min_doc_id") <= kMax && col("max_doc_id") >= kMin)
         .select(col("chunk_id"), col("min_doc_id"), col("max_doc_id"), col("doc_bloom"))
         .as[(Long, String, String, Array[Byte])]
         .filter { case (_, lo, hi, bloom) =>
-          docIds.exists(k => lo <= k && k <= hi && DocBloom.mayContain(bloom, k))
+          docIds.exists(k => Utf8Order.lteq(lo, k) && Utf8Order.lteq(k, hi) &&
+            DocBloom.mayContain(bloom, k))
         }
         .map(_._1)
         .collect()
         .toSeq
     }
+    readTokensForChunkIds(spark, outDir, ids, docIds)
+  }
+
+  /** Decode phase of a batch point lookup: given the surviving
+    * candidate chunk ids (from an index probe or the bloom scan),
+    * decode each chunk ONCE for all requested keys. Public so a caller
+    * that already probed the index (e.g. to decide whether to build
+    * it) reuses its candidates instead of paying a second freshness
+    * check + probe.
+    */
+  def readTokensForChunkIds(
+      spark: SparkSession,
+      outDir: String,
+      ids: Seq[Long],
+      docIds: Seq[String]
+  ): Dataset[TokenRow] = {
+    import spark.implicits._
+    if (docIds.isEmpty) return spark.emptyDataset[TokenRow]
+    val keys = docIds.toSet
     val hit =
       if (ids.isEmpty) readChunks(spark, outDir).filter(lit(false))
       else if (ids.length <= 1024)
         readChunks(spark, outDir).filter(col("chunk_id").isin(ids: _*))
       else readChunks(spark, outDir)
-        .filter(col("max_doc_id") >= docIds.min && col("min_doc_id") <= docIds.max)
+        .filter(col("max_doc_id") >= docIds.min(Utf8Order) &&
+          col("min_doc_id") <= docIds.max(Utf8Order))
     hit.flatMap(c => Decoder.decodeDocsTokens(c, keys))
   }
 

@@ -104,4 +104,21 @@ class BenchEmitSpec extends AnyFunSuite {
     val j = JsonMethods.parse(line)
     assert((j \ "value") == JDouble(4.0))
   }
+
+  test("emits valid JSON under a comma-decimal default locale") {
+    // the f-interpolator formats with the JVM default locale; a German
+    // locale would print 60,300 and corrupt both lines — exactly the
+    // lost-result failure this serializer exists to prevent
+    val saved = java.util.Locale.getDefault
+    java.util.Locale.setDefault(java.util.Locale.GERMANY)
+    try {
+      assert(BenchEmit.num(60.3, 3) == "60.300")
+      val compact = BenchEmit.compactLine(results, Nil, sfDir,
+        degraded = false, wallSecs = 1325.4, fatal = None, encFields)
+      val full = BenchEmit.fullLine(results, Nil, sfDir,
+        degraded = false, wallSecs = 1325.4, fatal = None, encFields)
+      assert((JsonMethods.parse(compact) \ "wall_secs") == JDouble(1325.4))
+      assert((JsonMethods.parse(full) \ "wall_secs") == JDouble(1325.4))
+    } finally java.util.Locale.setDefault(saved)
+  }
 }

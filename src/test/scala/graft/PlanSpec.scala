@@ -273,8 +273,9 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val a = SparkEntry.chunksFor(spark, sf, 16384)
     val b = SparkEntry.chunksFor(spark, sf, 16384)
     assert(a eq b, "repeat call must return the cached dataset")
-    // distinct params get distinct cache entries
-    val c = SparkEntry.chunksFor(spark, sf, 1L << 40)
+    // distinct params get distinct cache entries (2^30 is the largest
+    // accepted target — chunk token streams are Int-indexed arrays)
+    val c = SparkEntry.chunksFor(spark, sf, 1L << 30)
     assert(!(a eq c), "different tokensPerChunk must not share an entry")
     assert(a.storageLevel.useDisk || a.storageLevel.useMemory,
       "cached chunks must be persisted")

@@ -539,6 +539,39 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     srcRows.foreach(r => assert(decoded(r.doc_id) == r.tokens.toSeq))
   }
 
+  test("compact disjointness proof survives supplementary-plane doc ids") {
+    import spark.implicits._
+    // Regression (r04 review): Encoder computed chunk doc_id bounds in
+    // UTF-16 order while Spark aggregates/compares in UTF-8 order. With
+    // a supplementary-plane id (U+10000, UTF-16 surrogate sorts LOW,
+    // UTF-8 4-byte sequence sorts HIGH) sharing a chunk with \ue000,
+    // the stored chunk min was U+10000, the dir-level UTF-8 agg then
+    // produced a range EXCLUDING \ue000, and compactPlan declared an
+    // overlapping pair of dirs disjoint -- doc \ue000 landed twice in
+    // the compacted output.
+    val supp = new String(Character.toChars(0x10000))
+    def row(id: String, src: String, t0: Int) = TokenRow(id, Array(t0, t0 + 1), 2, src)
+    // two sources -> two single-source chunks in dirA: {\ue001} and {supp, \ue000}
+    val dsA = spark.createDataset(Seq(
+      row("\ue001", "s1", 10), row(supp, "s2", 20), row("\ue000", "s2", 30)))
+    val dsB = spark.createDataset(Seq(row("\ue000", "s2", 30)))
+    val dirA = tmpDir(); val dirB = tmpDir()
+    Pipeline.run(spark, dsA, dirA, tokensPerChunk = 1024, waves = 1)
+    Pipeline.run(spark, dsB, dirB, tokensPerChunk = 1024, waves = 1)
+    // stored bounds must be UTF-8-ordered: no chunk may claim a min
+    // above a doc it contains
+    val s2chunk = Pipeline.readChunks(spark, dirA).collect().find(_.part_source == "s2").get
+    assert(Utf8Order.lteq(s2chunk.min_doc_id, "\ue000"),
+      s"chunk min ${s2chunk.min_doc_id.map(_.toInt.toHexString)} excludes contained \ue000")
+    val (_, skipped) = Pipeline.compactPlan(spark, Seq(dirA, dirB))
+    assert(!skipped, "overlapping dirs declared disjoint: the dedup shuffle was wrongly skipped")
+    val out = tmpDir()
+    Pipeline.compact(spark, Seq(dirA, dirB), out, tokensPerChunk = 1024, waves = 1)
+    val ids = Pipeline.readTokens(spark, out).collect().map(_.doc_id)
+    assert(ids.count(_ == "\ue000") == 1, s"duplicate doc in compacted output: ${ids.toSeq}")
+    assert(ids.length == 3)
+  }
+
   test("rmTree deletes a symlink itself, never the target's contents") {
     val victim = Files.createTempDirectory("graft-victim")
     val inside = victim.resolve("data.txt")
