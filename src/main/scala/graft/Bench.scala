@@ -989,14 +989,27 @@ object Bench {
 
       if (encFields.get("clean_passes").forall(_.toInt < runs)) degraded = true
 
-      // decode throughput from whichever child survives (prefer high)
+      // decode throughput from whichever child survives (prefer high).
+      // Best of two passes when budget allows: decode runs ONCE per
+      // bench, so a single storm gust lands straight in the headline
+      // (observed 3.46s vs 5.24s across runs of identical code); the
+      // min of repeated identical work is the same storms-only-slow
+      // logic the encode minima already use.
       val decodeFrom =
         if (highAlive) Some((high, highCpus)) else if (lowAlive) Some((low, lowCpus)) else None
       decodeFrom.foreach { case (c, dc) =>
-        try c.decode(math.max(180, math.min(600, leftSecs + 120))).foreach { case (ds, dt) =>
-          setEnc("decode_cpus" -> dc.toString,
-            "decode_secs" -> BenchEmit.num(ds, 2),
-            "decode_tokens_per_sec" -> (dt / ds).toLong.toString)
+        try {
+          val first = c.decode(math.max(180, math.min(600, leftSecs + 120)))
+          val second =
+            if (first.isDefined && leftSecs > 120)
+              try c.decode(math.max(120, math.min(600, leftSecs + 120)))
+              catch { case _: ChildDied => None }
+            else None
+          (first.toSeq ++ second).minByOption(_._1).foreach { case (ds, dt) =>
+            setEnc("decode_cpus" -> dc.toString,
+              "decode_secs" -> BenchEmit.num(ds, 2),
+              "decode_tokens_per_sec" -> (dt / ds).toLong.toString)
+          }
         } catch { case e: ChildDied => setEnc("fatal_child" -> jstr(e.getMessage)) }
       }
 
