@@ -539,6 +539,22 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     srcRows.foreach(r => assert(decoded(r.doc_id) == r.tokens.toSeq))
   }
 
+  test("Utf8Order agrees with Spark's own string sort order") {
+    import spark.implicits._
+    val tricky = Seq(
+      "", "a", "ab", "z~", "\u00e9", "\u07ff", "\u0800", "\ud7ff",
+      "\ue000", "\ue001", "\uffff",
+      new String(Character.toChars(0x10000)),
+      new String(Character.toChars(0x1F600)),
+      new String(Character.toChars(0x10FFFF)),
+      "a\ue000", "a" + new String(Character.toChars(0x10000)))
+    val sparkSorted = tricky.toDS().orderBy(org.apache.spark.sql.functions.col("value"))
+      .collect().toSeq
+    assert(sparkSorted == tricky.sorted(Utf8Order),
+      s"Spark order ${sparkSorted.map(_.map(_.toInt.toHexString).mkString("+"))} != " +
+        s"Utf8Order ${tricky.sorted(Utf8Order).map(_.map(_.toInt.toHexString).mkString("+"))}")
+  }
+
   test("compact disjointness proof survives supplementary-plane doc ids") {
     import spark.implicits._
     // Regression (r04 review): Encoder computed chunk doc_id bounds in
