@@ -592,6 +592,15 @@ object Bench {
       // and the per-query numbers aren't comparable
       spark0.range(0, 1000000).selectExpr("sum(id * 3)").collect()
       spark0.read.parquet(s"$sfDir/documents.parquet").limit(10).collect()
+      // q52's two encoded input tables are fixtures (a real compaction
+      // reads tables that already exist at rest) — build them here so
+      // the timed q52 invocation measures the compaction, not fixture
+      // prep. Deliberately NOT done for chunksFor/chunksDirFor: those
+      // first-use costs belong to the queries that demonstrate the
+      // encode itself (q10's round-trip, q27's at-rest write).
+      try SparkEntry.q52InputsFor(spark0, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] q52 fixture warm-up failed (query will rebuild): $e") }
       val queryBudget = deadlineSecs * 0.4 // queries may not starve scaling
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         if (elapsedSecs < queryBudget) {
@@ -990,27 +999,34 @@ object Bench {
       if (encFields.get("clean_passes").forall(_.toInt < runs)) degraded = true
 
       // decode throughput from whichever child survives (prefer high).
-      // Best of two passes when budget allows: decode runs ONCE per
-      // bench, so a single storm gust lands straight in the headline
-      // (observed 3.46s vs 5.24s across runs of identical code); the
-      // min of repeated identical work is the same storms-only-slow
-      // logic the encode minima already use.
+      // Same measurement discipline as the queries and the encode leg:
+      // the FIRST decode is an untimed warm-up (the decode plan's
+      // codegen, the EncodedChunk parquet reader and zstd paths are all
+      // cold — the child has only run encode passes), then the min of
+      // up to two measured passes (storms only slow passes, so min
+      // removes a gust; observed 3.46s vs 5.24s across runs of
+      // identical code when a single cold+gusty pass was the headline).
       val decodeFrom =
         if (highAlive) Some((high, highCpus)) else if (lowAlive) Some((low, lowCpus)) else None
       decodeFrom.foreach { case (c, dc) =>
+        def markDead(): Unit = if (c eq high) highAlive = false else lowAlive = false
         try {
-          val first = c.decode(math.max(180, math.min(600, leftSecs + 120)))
+          c.decode(math.max(180, math.min(600, leftSecs + 120))) // warm-up, discarded
+          val first = c.decode(math.max(120, math.min(600, leftSecs + 120)))
+          // a death in the SECOND pass must not discard the first
+          // measurement — mark the child dead and keep what we have
           val second =
             if (first.isDefined && leftSecs > 120)
               try c.decode(math.max(120, math.min(600, leftSecs + 120)))
-              catch { case _: ChildDied => None }
+              catch { case _: ChildDied => markDead(); None }
             else None
           (first.toSeq ++ second).minByOption(_._1).foreach { case (ds, dt) =>
             setEnc("decode_cpus" -> dc.toString,
               "decode_secs" -> BenchEmit.num(ds, 2),
               "decode_tokens_per_sec" -> (dt / ds).toLong.toString)
           }
-        } catch { case e: ChildDied => setEnc("fatal_child" -> jstr(e.getMessage)) }
+        } catch { case e: ChildDied =>
+          markDead(); setEnc("fatal_child" -> jstr(e.getMessage)) }
       }
 
       if (lowAlive) low.quit()

@@ -109,25 +109,37 @@ object SparkEntry {
     * [[chunkDirCache]]'s.
     */
   private val q52InputCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), (String, String)]
-  private def q52InputsFor(s: SparkSession, dir: String): (String, String) = {
+    scala.collection.concurrent.TrieMap.empty[(String, Long), String]
+  /** Public so a harness can pre-build the fixtures OUTSIDE a timed
+    * query invocation (Bench does, in its session warm-up) — q52's
+    * measured cost is then the compaction, which is the operator.
+    */
+  def q52InputsFor(s: SparkSession, dir: String): (String, String) = {
     val stamp = dirStamp(s"$dir/documents.parquet")
-    q52InputCache.filterInPlace { case ((d, st), (a, b)) =>
+    q52InputCache.filterInPlace { case ((d, st), root) =>
       val keep = !(d == dir && st != stamp)
-      if (!keep) { graft.engine.Verifier.rmTree(new java.io.File(a).getParent) }
+      if (!keep) graft.engine.Verifier.rmTree(root)
       keep
     }
-    q52InputCache.getOrElseUpdate((dir, stamp), {
+    val root = q52InputCache.getOrElseUpdate((dir, stamp), {
       val base = tokenTable(s, dir).filter(col("source").isin("src0", "src1"))
       val sliceA = base.filter(expr("CAST(doc_id AS BIGINT) % 3 <= 1"))
       val sliceB = base.filter(expr("CAST(doc_id AS BIGINT) % 3 >= 1"))
-      val root = java.nio.file.Files.createTempDirectory(scratchRoot, "q52in")
-      val dirA = s"$root/a"; val dirB = s"$root/b"
-      graft.engine.Pipeline.run(s, sliceA, dirA, tokensPerChunk = 262144, waves = 1)
-      graft.engine.Pipeline.run(s, sliceB, dirB, tokensPerChunk = 262144, waves = 1)
-      (dirA, dirB)
+      val r = java.nio.file.Files.createTempDirectory(scratchRoot, "q52in").toString
+      graft.engine.Pipeline.run(s, sliceA, s"$r/a", tokensPerChunk = 262144, waves = 1)
+      graft.engine.Pipeline.run(s, sliceB, s"$r/b", tokensPerChunk = 262144, waves = 1)
+      r
     })
+    (s"$root/a", s"$root/b")
   }
+
+  /** Previous q52 compact target per corpus: each invocation writes a
+    * fresh out dir (compact refuses populated foreign targets), so the
+    * prior one — a full compacted-corpus copy — is deleted when the
+    * next invocation replaces it (its lazy DataFrame was consumed by
+    * then; long-lived JVMs must not grow scratch per invocation).
+    */
+  private val q52LastOut = scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** documents → input_hint-shaped token table: tokens = unicode code
     * points of `text` (deterministic, oracle-checkable: DuckDB
@@ -785,6 +797,8 @@ object SparkEntry {
       // target) is the operation under measurement
       val (dirA, dirB) = q52InputsFor(s, dir)
       val out = s"${java.nio.file.Files.createTempDirectory(scratchRoot, "q52out")}/out"
+      q52LastOut.put(dir, out).foreach(prev =>
+        graft.engine.Verifier.rmTree(new java.io.File(prev).getParent))
       graft.engine.Pipeline.compact(s, Seq(dirA, dirB), out, tokensPerChunk = 262144, waves = 1)
       graft.engine.Pipeline.readTokens(s, out)
         .groupBy(col("source"))
