@@ -1398,6 +1398,30 @@ object SparkEntry {
         |SELECT a, b FROM j WHERE uni > 0 AND inter * 2 >= uni
         |ORDER BY a, b""".stripMargin,
 
+    // exact twin of Analyzer.englishScore/langId: hit-rate of the text's
+    // char bigrams against the same 50-bigram table, threshold 0.22
+    // re-expressed integer-exact (50*hits >= 11*(len-1) <=> hits/(len-1)
+    // >= 11/50; the kernel's double divide is correctly rounded and the
+    // nearest rational to the threshold at len <= 32k is ~2e-6 away, 11
+    // orders above double rounding error, so the integer compare and the
+    // double compare agree on every representable input). Texts are
+    // ASCII (checked), so DuckDB lower()/length() match the JVM's
+    // UTF-16 toLowerCase/length.
+    "q36_langid_ngram" -> {
+      val bigrams = graft.text.Analyzer.EnglishBigramList
+        .map(b => "'" + b.replace("'", "''") + "'").mkString("[", ",", "]")
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |    CASE WHEN length(text) >= 2 AND
+         |      50 * len(list_filter(range(1, length(text)),
+         |          i -> list_contains($bigrams, substring(lower(text), CAST(i AS INT), 2))))
+         |      >= 11 * (length(text) - 1)
+         |    THEN 'en' ELSE 'other' END AS predicted
+         |  FROM documents)
+         |SELECT lang, predicted, count(*) AS n FROM scored
+         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+    },
+
     "q26_decode_point_lookup" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tok
         |FROM documents WHERE doc_id = 42 ORDER BY doc_id""".stripMargin,

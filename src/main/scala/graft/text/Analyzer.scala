@@ -247,14 +247,16 @@ object Analyzer {
   /** Most-frequent English character bigrams (public knowledge —
     * Norvig's Google-corpus counts). Score = fraction of a text's
     * bigrams found in this set; English text scores ~0.35+, uniform
-    * noise ~0.06.
+    * noise ~0.06. Exposed as an ordered list so q36's DuckDB oracle
+    * can be built from the SAME table the kernel scores against.
     */
-  private val EnglishBigrams: Set[String] = Set(
+  val EnglishBigramList: Seq[String] = Seq(
     "th", "he", "in", "er", "an", "re", "on", "at", "en", "nd",
     "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
     "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le",
     "ve", "co", "me", "de", "hi", "ri", "ro", "ic", "ne", "ea",
     "ra", "ce", " t", " a", " s", " o", " w", "e ", "s ", "t ")
+  private val EnglishBigrams: Set[String] = EnglishBigramList.toSet
 
   /** English-ness score in [0,1]: hit-rate of the text's bigrams
     * against the top-English-bigram table.

@@ -42,6 +42,23 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(Analyzer.englishScore("") == 0.0)
   }
 
+  test("langId double threshold == q36 oracle's integer-exact compare") {
+    // q36's DuckDB oracle re-expresses `hits/(len-1) >= 0.22` as
+    // `50*hits >= 11*(len-1)`. The kernel's double divide is correctly
+    // rounded, so the two compares must agree for every reachable
+    // (hits, len) — including exact-ratio ties like 11/50. Exhaustive
+    // over the realistic bigram-count range.
+    for (n1 <- 1 to 4000; hits <- Seq(0, 1, n1 / 5 - 1, n1 / 5, n1 / 5 + 1,
+        11 * n1 / 50 - 1, 11 * n1 / 50, 11 * n1 / 50 + 1, n1).filter(h => h >= 0 && h <= n1)) {
+      val dbl = hits.toDouble / n1 >= 0.22
+      val int = 50L * hits >= 11L * n1
+      assert(dbl == int, s"hits=$hits n1=$n1 double=$dbl int=$int")
+    }
+    // the bigram table the oracle is built from is the scoring table
+    assert(Analyzer.EnglishBigramList.size == 50)
+    assert(Analyzer.EnglishBigramList.distinct.size == 50)
+  }
+
   test("repetition stats: counts, edge cases, Gopher flag arithmetic") {
     import Analyzer.{repetitionStats => rs, RepetitionStats}
     // "a b a b a" -> words 5, distinct 2, 2-grams 4: "a b" x2, "b a" x2
