@@ -1398,6 +1398,80 @@ object SparkEntry {
         |SELECT a, b FROM j WHERE uni > 0 AND inter * 2 >= uni
         |ORDER BY a, b""".stripMargin,
 
+    // exact oracle for Analyzer.winnow (k=8, w=16): poly-31 k-gram hash
+    // + splitmix64 finalize re-expressed in wrapping mod-2^64 HUGEINT
+    // arithmetic (64x64 multiply split at 2^32 so the 128-bit product
+    // never overflows HUGEINT). Two winnowing facts keep the SQL sane:
+    // (1) every gram position is covered by some window, and the
+    // global-min gram wins the window containing it, so min_fp = signed
+    // min over ALL grams — no windowing needed for that column; (2) the
+    // rightmost-min argmin index is non-decreasing as the window slides
+    // (any j left of a rightmost min has a strictly-or-equal greater
+    // hash, so a pick can only move right), so the kernel's
+    // consecutive-dedup pick count equals count(DISTINCT argmin) —
+    // pinned by an AnalyzerSpec property test. Rightmost tie-break is
+    // encoded in the key as (sg+2^63)*2^32 + (2^32-p): unsigned-mapped
+    // signed hash in the high bits, descending position in the low 32.
+    // ASCII precondition as q36 (ord == charAt on these texts).
+    "q35_winnow_fingerprint" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |), grams0 AS (
+        |  SELECT d.doc_id, d.n - 7 AS m, gp.p,
+        |    CAST(list_reduce(
+        |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |        list_transform(range(CAST(gp.p AS INT), CAST(gp.p + least(d.n, 8) AS INT)),
+        |          i -> CAST(ord(substring(d.text, i, 1)) AS HUGEINT))),
+        |      (h, c) -> (h * 31 + c) % 18446744073709551616
+        |    ) AS UBIGINT) AS h
+        |  FROM docs d, LATERAL (SELECT unnest(range(1, greatest(1, d.n - 7) + 1)) AS p) gp
+        |  WHERE d.n >= 1
+        |), s1 AS (
+        |  SELECT doc_id, m, p,
+        |    CAST((CAST(h AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS x
+        |  FROM grams0
+        |), s2 AS (SELECT doc_id, m, p, xor(x, x >> 30) AS x FROM s1
+        |), s3 AS (
+        |  SELECT doc_id, m, p,
+        |    CAST((((CAST(x >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296
+        |         + CAST(x & 4294967295 AS HUGEINT) * 13787848793156543929)
+        |         % 18446744073709551616 AS UBIGINT) AS x
+        |  FROM s2
+        |), s4 AS (SELECT doc_id, m, p, xor(x, x >> 27) AS x FROM s3
+        |), s5 AS (
+        |  SELECT doc_id, m, p,
+        |    CAST((((CAST(x >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296
+        |         + CAST(x & 4294967295 AS HUGEINT) * 10723151780598845931)
+        |         % 18446744073709551616 AS UBIGINT) AS x
+        |  FROM s4
+        |), grams AS (
+        |  SELECT doc_id, m, p,
+        |    CAST(CAST(xor(x, x >> 31) AS HUGEINT)
+        |         - CASE WHEN xor(x, x >> 31) >= 9223372036854775808
+        |                THEN 18446744073709551616 ELSE 0 END AS BIGINT) AS sg
+        |  FROM s5
+        |), keyed AS (
+        |  SELECT doc_id, m, p,
+        |    (CAST(sg AS HUGEINT) + 9223372036854775808) * 4294967296 + (4294967296 - p) AS key
+        |  FROM grams
+        |), winmin AS (
+        |  SELECT doc_id, m, p,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY p
+        |                   ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin
+        |  FROM keyed
+        |), picks AS (
+        |  SELECT doc_id, count(DISTINCT 4294967296 - (wmin % 4294967296)) AS n_fp
+        |  FROM winmin WHERE m > 16 AND p <= m - 15
+        |  GROUP BY doc_id
+        |), agg AS (
+        |  SELECT doc_id, min(sg) AS min_sg, max(m) AS m FROM grams GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(CASE WHEN a.m <= 16 THEN 1 ELSE pk.n_fp END, 0) AS BIGINT) AS n_fingerprints,
+        |  CAST(coalesce(a.min_sg, 0) AS BIGINT) AS min_fp
+        |FROM docs d LEFT JOIN agg a USING (doc_id) LEFT JOIN picks pk USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // exact twin of Analyzer.englishScore/langId: hit-rate of the text's
     // char bigrams against the same 50-bigram table, threshold 0.22
     // re-expressed integer-exact (50*hits >= 11*(len-1) <=> hits/(len-1)

@@ -59,6 +59,49 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(Analyzer.EnglishBigramList.distinct.size == 50)
   }
 
+  test("winnow pick count == distinct-argmin count (q35 oracle invariant)") {
+    // q35's DuckDB oracle computes n_fingerprints as count(DISTINCT
+    // rightmost-argmin) over all windows, while the kernel dedups only
+    // CONSECUTIVE picks. Equal iff the argmin index is non-decreasing
+    // as the window slides — a winnowing property the oracle leans on.
+    // Also: min_fp == signed min over ALL gram hashes (every position
+    // is in some window and the global min wins its window).
+    val k = 8; val w = 16
+    def hashGrams(text: String): Array[Long] = {
+      // reuse the kernel's own gram hashes via winnow on short inputs is
+      // not possible (it returns picks), so brute-force through the
+      // public surface: winnow of the k-gram substring alone is its hash
+      if (text.length < k) Array(Analyzer.winnow(text).head)
+      else (0 to text.length - k).map(i => Analyzer.winnow(text.substring(i, i + k)).head).toArray
+    }
+    val rnd = new scala.util.Random(7)
+    for (len <- Seq(0, 1, 7, 8, 9, 23, 24, 25, 40, 100, 400); trial <- 1 to 8) {
+      // small alphabet forces hash ties so the rightmost tie-break path runs
+      val text = Array.fill(len)(('a' + rnd.nextInt(3)).toChar).mkString
+      val fp = Analyzer.winnow(text)
+      if (len == 0) assert(fp.isEmpty)
+      else {
+        val grams = hashGrams(text)
+        assert(fp.min == grams.min, s"min_fp != global gram min (len=$len)")
+        val expectedCount =
+          if (grams.length <= w) 1
+          else {
+            val argmins = (0 to grams.length - w).map { i =>
+              var mi = i
+              var j = i + 1
+              while (j < i + w) { if (grams(j) <= grams(mi)) mi = j; j += 1 }
+              mi
+            }
+            // non-decreasing => consecutive dedup == distinct
+            assert(argmins.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+              s"argmin not monotone (len=$len trial=$trial)")
+            argmins.distinct.size
+          }
+        assert(fp.length == expectedCount, s"pick count (len=$len trial=$trial)")
+      }
+    }
+  }
+
   test("repetition stats: counts, edge cases, Gopher flag arithmetic") {
     import Analyzer.{repetitionStats => rs, RepetitionStats}
     // "a b a b a" -> words 5, distinct 2, 2-grams 4: "a b" x2, "b a" x2
