@@ -592,6 +592,74 @@ object SparkEntry {
         .select(col("word"), col("n"))
     }),
 
+    // gap-based sessionization: a new session opens when the gap to the
+    // user's previous event exceeds 30 min. EXACTLY one shuffle — the
+    // window partition on user_id — then lag/cumsum/agg all run inside
+    // the per-user sort (the two windows and the groupBy share the
+    // user_id clustering, so Catalyst plans a single Exchange); at 100
+    // TB the cost is one repartition of the event log, the same shape
+    // as the reference's single-key merge paths. Microsecond-exact
+    // integer time math (unix_micros/epoch_us) keeps the oracle
+    // value-identical.
+    "q56_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+      // ts is TIMESTAMP_NTZ; every session pins UTC, so the NTZ->LTZ
+      // cast is epoch-exact and matches DuckDB's epoch_us(naive ts)
+      val sessions = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"))
+        .withColumn("new_s",
+          when(col("tus") - lag(col("tus"), 1).over(byUser) <= 1800000000L, 0L)
+            .otherwise(1L))
+        .withColumn("sid", sum(col("new_s")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_ev"), (max(col("tus")) - min(col("tus"))).as("dur"))
+      sessions.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_ev")).as("n_events"),
+          max(col("n_ev")).as("max_session_events"),
+          max(col("dur")).as("max_session_us"))
+        .orderBy(col("user_id"))
+    }),
+
+    // as-of join (most recent prior click for each purchase, per user)
+    // via the scale shape Spark lacks as a builtin: tag-and-union both
+    // sides, ONE shuffle on user_id, and a running last(ignoreNulls)
+    // over the merged time order carries the as-of click forward onto
+    // each purchase row. O((n+m) log) per user vs the O(n*m) range
+    // self-join a naive `ON p.user_id = c.user_id AND c.ts <= p.ts` +
+    // max() would plan; no broadcast needed on either side. Ties
+    // (click.ts == purchase.ts) count as prior — the union sorts the
+    // click tag (0) before the purchase tag (1) at equal ts, matching
+    // DuckDB's ASOF `ON p.ts >= c.ts`.
+    "q57_asof_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"), // NTZ + UTC session
+        col("event_type"))
+      val clicks = ev.filter(col("event_type") === "click").select(
+        col("user_id"), col("tus"), lit(0).as("tag"),
+        col("event_id").as("click_event_id"), col("tus").as("click_tus"),
+        lit(null).cast("long").as("purchase_event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase").select(
+        col("user_id"), col("tus"), lit(1).as("tag"),
+        lit(null).cast("long").as("click_event_id"),
+        lit(null).cast("long").as("click_tus"),
+        col("event_id").as("purchase_event_id"))
+      val merged = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("asof_click", last(col("click_event_id"), ignoreNulls = true).over(merged))
+        .withColumn("asof_ctus", last(col("click_tus"), ignoreNulls = true).over(merged))
+        .filter(col("tag") === 1 && col("asof_click").isNotNull)
+        .select(col("purchase_event_id").as("event_id"),
+          col("asof_click").as("click_event_id"),
+          (col("tus") - col("asof_ctus")).as("gap_us"))
+        .orderBy(col("event_id"))
+    }),
+
     // projection-aware decode: ids/lengths/sources read from an at-rest
     // chunks table WITHOUT touching the token payload — the scan prunes
     // tokens_enc (parquet column pruning) and the kernel skips token
@@ -1535,6 +1603,34 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         |GROUP BY w HAVING count(*) >= 10
         |ORDER BY n DESC, word LIMIT 50""".stripMargin,
+
+    // first-row lag is NULL; NULL <= 1800000000 is NULL -> ELSE 1, the
+    // same branch the Spark when/otherwise takes
+    "q56_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |g AS (SELECT user_id, tus,
+        |  CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+        |    <= 1800000000 THEN 0 ELSE 1 END AS new_s FROM e),
+        |s AS (SELECT user_id, tus,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        |per AS (SELECT user_id, sid, count(*) AS n_ev,
+        |  max(tus) - min(tus) AS dur FROM s GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |  CAST(max(n_ev) AS BIGINT) AS max_session_events,
+        |  CAST(max(dur) AS BIGINT) AS max_session_us
+        |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // DuckDB's native ASOF JOIN (>= includes equal-instant clicks, the
+    // tag-ordering convention of the Spark union+window plan)
+    "q57_asof_join" ->
+      """SELECT p.event_id AS event_id, c.event_id AS click_event_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY event_id""".stripMargin,
 
     "q27_decode_meta_only" ->
       """SELECT source, count(*) AS n_docs,

@@ -291,4 +291,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Window"), "q39 must not move data through a window")
     assert(p.contains("Broadcast"), "q39's global aggregate must broadcast")
   }
+
+  test("q56 sessionize: exactly one hash shuffle (windows + aggs share user_id clustering)") {
+    val p = plan("q56_sessionize")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    // lag window, cumsum window, groupBy(user_id,sid), groupBy(user_id):
+    // all satisfied by the single hashpartitioning(user_id) — a second
+    // hash exchange means a window/agg stopped reusing the clustering
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n${p.take(1500)}")
+  }
+
+  test("q57 as-of join: union+window, one hash shuffle, no join operator") {
+    val p = plan("q57_asof_join")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n${p.take(1500)}")
+    // the whole point: the as-of is carried by a running last() over the
+    // merged order, not a join (a SortMergeJoin/BNLJ here would be the
+    // O(n*m) range-join shape this operator exists to avoid)
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n${p.take(1500)}")
+    assert(p.contains("Window"), "expected the running-last window")
+  }
 }
