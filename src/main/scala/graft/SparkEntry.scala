@@ -660,6 +660,37 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // range (interval) join with NO equi key: per error event, count
+    // purchases in the following 5 minutes, corpus-wide. The naive
+    // `ON p.ts > e.ts AND p.ts <= e.ts + 5min` plans a nested-loop/
+    // cartesian — O(n*m) and a non-starter at 100 TB. The scale shape:
+    // bucket both sides into bins of exactly the window width; a
+    // purchase in bin b can only match errors in bins {b-1, b}, so
+    // exploding the error side into 2 candidate bins turns the interval
+    // predicate into an EQUI join on bin (one shuffle each side,
+    // uniform keys) + a residual range filter. Each (error, purchase)
+    // pair meets on exactly one bin — no post-join dedup. PlanSpec
+    // pins no NestedLoop/Cartesian in the plan.
+    "q58_range_join" -> ((s, dir) => {
+      val binUs = 300000000L // 5 min in micros == the bin width
+      val ev = t(s, dir, "events").select(
+        col("event_id"), unix_micros(col("ts").cast("timestamp")).as("tus"),
+        col("event_type"))
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("tus"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("tus").as("ptus"), floor(col("tus") / binUs).as("bin"))
+      val errBins = err.withColumn("bin",
+        explode(array(floor(col("tus") / binUs), floor(col("tus") / binUs) + 1)))
+      val counts = errBins.join(pur, "bin")
+        .filter(col("ptus") > col("tus") && col("ptus") <= col("tus") + binUs)
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n_purchases_5min"))
+      err.join(counts, Seq("event_id"), "left")
+        .select(col("event_id"),
+          coalesce(col("n_purchases_5min"), lit(0L)).as("n_purchases_5min"))
+        .orderBy(col("event_id"))
+    }),
+
     // projection-aware decode: ids/lengths/sources read from an at-rest
     // chunks table WITHOUT touching the token payload — the scan prunes
     // tokens_enc (parquet column pruning) and the kernel skips token
@@ -1621,6 +1652,17 @@ object SparkEntry {
         |  CAST(max(n_ev) AS BIGINT) AS max_session_events,
         |  CAST(max(dur) AS BIGINT) AS max_session_us
         |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the oracle states the interval predicate directly — DuckDB can
+    // afford the quadratic plan at oracle scale
+    "q58_range_join" ->
+      """SELECT e.event_id,
+        |  CAST(count(p.event_id) AS BIGINT) AS n_purchases_5min
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON epoch_us(p.ts) > epoch_us(e.ts)
+        | AND epoch_us(p.ts) <= epoch_us(e.ts) + 300000000
+        |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin,
 
     // DuckDB's native ASOF JOIN (>= includes equal-instant clicks, the
     // tag-ordering convention of the Spark union+window plan)

@@ -311,4 +311,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), s"as-of must not plan a join:\n${p.take(1500)}")
     assert(p.contains("Window"), "expected the running-last window")
   }
+
+  test("q58 range join: binned equi-join, never nested-loop/cartesian") {
+    val p = plan("q58_range_join")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"interval predicate leaked into a quadratic join:\n${p.take(1500)}")
+    // the bin key makes it an equi join (broadcast or shuffled-hash both fine)
+    assert(p.contains("Join"), "expected the binned equi-join")
+  }
 }
