@@ -58,6 +58,32 @@ object StreamOps {
         col("source"), col("n_docs"), col("n_tokens"), col("max_doc_tokens"))
   }
 
+  /** Per-source gap-based session stats — the streaming twin of the
+    * batch sessionization query (SparkEntry q56, same 30-minute-gap
+    * semantics, which is the oracle-checked side of the pair): a
+    * session extends while consecutive events arrive within
+    * `sessionGap` of each other and closes when the watermark passes
+    * its end. Built on `session_window`, so merge/extend logic runs in
+    * the state store partitioned by the grouping key — sessions for
+    * 10^9 sources shard across executors with no coordination, and the
+    * watermark bounds state to open sessions only. Append mode: one
+    * row per closed session, never revised.
+    */
+  def sessionStats(
+      stream: Dataset[StampedToken],
+      sessionGap: String = "30 minutes",
+      maxLateness: String = "5 minutes"
+  ): DataFrame = {
+    stream.toDF()
+      .withWatermark("event_time", maxLateness)
+      .groupBy(session_window(col("event_time"), sessionGap), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("source"), col("n_docs"), col("n_tokens"))
+  }
+
   /** First-seen streaming dedup on (source, doc_id): an at-least-once
     * upstream (Kafka replay, file redelivery) can emit the same
     * document many times; only the FIRST occurrence passes, any later

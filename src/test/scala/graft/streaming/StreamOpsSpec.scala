@@ -61,6 +61,47 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rows.exists(_._4 >= 999L), s"late event leaked: ${rows.mkString("; ")}")
   }
 
+  test("session stats: gap merges events, watermark closes sessions") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[StampedToken]
+    // 10-minute gap, 2-minute lateness so the test closes sessions fast
+    val q = StreamOps.sessionStats(src.toDS(), "10 minutes", "2 minutes")
+      .writeStream.format("memory").queryName("sess_stats")
+      .outputMode(OutputMode.Append()).start()
+
+    // src1: events at 10:01 and 10:05 (4-min gap < 10 -> ONE session);
+    // src2: event at 10:03 (its own session)
+    src.addData(
+      StampedToken("d1", "src1", 100, ts(1)),
+      StampedToken("d2", "src1", 50, ts(5)),
+      StampedToken("d3", "src2", 7, ts(3)))
+    q.processAllAvailable()
+    // src1 at 10:30: 25 min > 10-min gap -> NEW session; also advances
+    // the watermark to 10:28, past every first-wave session end
+    // (10:15/10:13), so those emit
+    src.addData(StampedToken("d4", "src1", 30, ts(30)))
+    q.processAllAvailable()
+    // close the 10:30 session too
+    src.addData(StampedToken("d5", "src1", 1, ts(55)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sess_stats").collect()
+      .map(r => (r.getAs[Timestamp]("session_start").toString,
+        r.getAs[Timestamp]("session_end").toString,
+        r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens")))
+      .sortBy(t => (t._1, t._3))
+    // session end = last event + gap (session_window semantics)
+    assert(rows.contains(("2026-01-01 10:01:00.0", "2026-01-01 10:15:00.0", "src1", 2L, 150L)),
+      rows.mkString("; "))
+    assert(rows.contains(("2026-01-01 10:03:00.0", "2026-01-01 10:13:00.0", "src2", 1L, 7L)),
+      rows.mkString("; "))
+    assert(rows.contains(("2026-01-01 10:30:00.0", "2026-01-01 10:40:00.0", "src1", 1L, 30L)),
+      rows.mkString("; "))
+  }
+
   test("first-seen dedup suppresses replays across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
