@@ -691,6 +691,66 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // int8 embedding quantization — the standard 4x payload reduction
+    // for vector storage at 100 TB (per-vector symmetric scale
+    // maxabs/127, the scalar-quantizer scheme of FAISS SQ8 / the
+    // Parquet-embedding pattern). Map-only kernel: widen to double,
+    // quantize each vector into [-127, 127], round-trip the quantized
+    // ints through the engine's auto-selected int codec (the int8
+    // range makes bitpack/FoR win), and reduce to per-label EXACT
+    // integer aggregates. n_sat pins saturation behavior (each
+    // vector's max-|x| element lands exactly on ±127, so n_sat >=
+    // n_vecs on non-degenerate data); n_mismatch is the structural-
+    // zero codec round-trip gate. Rounding is half-away-from-zero on
+    // the EXACT binary double (BigDecimal(double) + HALF_UP ==
+    // C++/DuckDB std::round), and the expression order (x * 127.0) / m
+    // matches the oracle so both sides produce bit-identical doubles.
+    // Scale shape: zero shuffle until the final tiny per-label agg —
+    // the quantize+encode pass streams each partition once.
+    "q59_embed_quantize" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long"), col("embedding"), col("label"))
+        .as[(Long, Array[Float], Int)]
+        .mapPartitions { it =>
+          // label -> (n_vecs, n_dims, sum_q, sum_abs_q, n_sat, n_mismatch)
+          val acc = scala.collection.mutable.HashMap.empty[Int, Array[Long]]
+          it.foreach { case (_, v, label) =>
+            val q = graft.codec.Quantize.int8(v)
+            val (_, enc) = graft.codec.Selector.encodeAuto(q)
+            val dec = graft.codec.IntCodec.decode(enc)
+            var mism = 0L
+            var i = 0
+            if (dec.length != q.length) mism += 1
+            else {
+              while (i < q.length) { if (dec(i) != q(i)) mism += 1; i += 1 }
+            }
+            val a = acc.getOrElseUpdate(label, new Array[Long](6))
+            a(0) += 1
+            i = 0
+            while (i < q.length) {
+              a(1) += 1
+              a(2) += q(i)
+              a(3) += math.abs(q(i))
+              if (math.abs(q(i)) == 127) a(4) += 1
+              i += 1
+            }
+            a(5) += mism
+          }
+          acc.iterator.map { case (l, a) =>
+            (l, a(0), a(1), a(2), a(3), a(4), a(5))
+          }
+        }
+        .toDF("label", "n_vecs", "n_dims", "sum_q", "sum_abs_q", "n_sat",
+          "n_mismatch")
+        .groupBy(col("label"))
+        .agg(sum("n_vecs").as("n_vecs"), sum("n_dims").as("n_dims"),
+          sum("sum_q").as("sum_q"), sum("sum_abs_q").as("sum_abs_q"),
+          sum("n_sat").as("n_sat"), sum("n_mismatch").as("n_mismatch"))
+        .orderBy(col("label"))
+    }),
+
     // projection-aware decode: ids/lengths/sources read from an at-rest
     // chunks table WITHOUT touching the token payload — the scan prunes
     // tokens_enc (parquet column pruning) and the kernel skips token
@@ -1673,6 +1733,34 @@ object SparkEntry {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY event_id""".stripMargin,
+
+    // the same quantization in list algebra — DuckDB round() on DOUBLE
+    // is std::round (half away from zero on the exact binary value) ==
+    // the kernel's BigDecimal HALF_UP, and (x * 127.0) / m keeps the
+    // identical IEEE op order; n_mismatch is structurally zero (any
+    // codec round-trip divergence on the Spark side breaks the hash)
+    "q59_embed_quantize" ->
+      """WITH m2 AS (
+        |  SELECT label, de, list_max(list_transform(de, x -> abs(x))) AS m
+        |  FROM (SELECT label,
+        |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+        |        FROM embeddings)),
+        |q AS (
+        |  SELECT label,
+        |    CASE WHEN m > 0
+        |      THEN list_transform(de, x -> CAST(round(x * 127.0 / m) AS BIGINT))
+        |      ELSE list_transform(de, x -> CAST(0 AS BIGINT)) END AS qe
+        |  FROM m2)
+        |SELECT label,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(len(qe)) AS BIGINT) AS n_dims,
+        |  CAST(sum(list_sum(qe)) AS BIGINT) AS sum_q,
+        |  CAST(sum(list_sum(list_transform(qe, v -> abs(v)))) AS BIGINT)
+        |    AS sum_abs_q,
+        |  CAST(coalesce(sum(len(list_filter(qe, v -> abs(v) = 127))), 0)
+        |    AS BIGINT) AS n_sat,
+        |  CAST(0 AS BIGINT) AS n_mismatch
+        |FROM q GROUP BY label ORDER BY label""".stripMargin,
 
     "q27_decode_meta_only" ->
       """SELECT source, count(*) AS n_docs,
