@@ -751,6 +751,47 @@ object SparkEntry {
         .orderBy(col("label"))
     }),
 
+    // ANN over the COMPRESSED representation (FAISS IVF-SQ8's scoring
+    // half): both sides quantized to int8 (4x less scan bandwidth — at
+    // 100 TB of vectors the search is memory-bandwidth-bound, so this
+    // is the production configuration, not an approximation shortcut),
+    // asymmetric score reconstructed in pure int64 as
+    // dot_q * scaleInt(doc) — the probe's own scale is constant within
+    // a probe's ranking, so dropping it changes no ranks and keeps the
+    // comparator integer-exact (no float top-k, hash-matches DuckDB).
+    // Scale shape identical to q40: probes broadcast, corpus never
+    // shuffled, per-probe top-k is the only (tiny) exchange.
+    "q60_quantized_ann" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val spark = s
+      import spark.implicits._
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          it.map { case (id, v) =>
+            (id, graft.codec.Quantize.int8(v).map(_.toLong),
+              graft.codec.Quantize.scaleInt(v))
+          }
+        }
+        .toDF("vec_id", "qe", "scale_i")
+      val probes = base.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("qe").as("qqe"))
+      val dot = expr(
+        "aggregate(zip_with(qe, qqe, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("vec_id"))
+      base.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dot_q", dot)
+        .withColumn("score", col("dot_q") * col("scale_i"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vec_id"), col("dot_q"),
+          col("scale_i"), col("score"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // projection-aware decode: ids/lengths/sources read from an at-rest
     // chunks table WITHOUT touching the token payload — the scan prunes
     // tokens_enc (parquet column pruning) and the kernel skips token
@@ -1761,6 +1802,37 @@ object SparkEntry {
         |    AS BIGINT) AS n_sat,
         |  CAST(0 AS BIGINT) AS n_mismatch
         |FROM q GROUP BY label ORDER BY label""".stripMargin,
+
+    // same SQ8 quantization CTE as q59; the integer scale is
+    // round(m * 2^20) with DuckDB round() == std::round == the
+    // kernel's exact-binary BigDecimal HALF_UP, and the score/rank
+    // pipeline is pure BIGINT so the hash compare is exact
+    "q60_quantized_ann" ->
+      """WITH m2 AS (
+        |  SELECT vec_id, de, list_max(list_transform(de, x -> abs(x))) AS m
+        |  FROM (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+        |        FROM embeddings)),
+        |cv AS (
+        |  SELECT vec_id,
+        |    CASE WHEN m > 0
+        |      THEN list_transform(de, x -> CAST(round(x * 127.0 / m) AS BIGINT))
+        |      ELSE list_transform(de, x -> CAST(0 AS BIGINT)) END AS qe,
+        |    CASE WHEN m > 0 THEN CAST(round(m * 1048576.0) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS scale_i
+        |  FROM m2),
+        |qv AS (SELECT vec_id AS qid, qe AS qqe FROM cv WHERE vec_id < 3),
+        |pairs AS (
+        |  SELECT qv.qid, cv.vec_id, cv.scale_i,
+        |    CAST(list_sum(list_transform(list_zip(cv.qe, qv.qqe),
+        |      p -> p[1] * p[2])) AS BIGINT) AS dot_q
+        |  FROM cv, qv WHERE cv.vec_id <> qv.qid)
+        |SELECT qid, rank, vec_id, dot_q, scale_i, score FROM (
+        |  SELECT qid, vec_id, dot_q, scale_i, dot_q * scale_i AS score,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY dot_q * scale_i DESC, vec_id) AS BIGINT) AS rank
+        |  FROM pairs) WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
 
     "q27_decode_meta_only" ->
       """SELECT source, count(*) AS n_docs,

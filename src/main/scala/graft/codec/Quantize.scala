@@ -46,6 +46,30 @@ object Quantize {
     q
   }
 
+  /** The vector's maxabs scale snapped to an integer grid (scale *
+    * grid, rounded half-away-from-zero on the exact binary double —
+    * same determinism contract as [[int8]]). An integer scale makes
+    * asymmetric quantized scoring exact: rank documents for a probe by
+    * `dot_q * scaleInt(doc)` in pure int64 arithmetic instead of the
+    * float `dot_q * maxabs` FAISS computes — bit-reproducible across
+    * engines, no float comparator in the top-k. grid = 2^20 keeps
+    * |score| <= 127^2 * dim * maxabs * 2^20 — < 2^63 for any realistic
+    * embedding (dim 4096, maxabs 1000 is still ~5.7e17).
+    */
+  def scaleInt(v: Array[Float], grid: Double = 1048576.0): Long = {
+    var m = 0.0
+    var i = 0
+    while (i < v.length) {
+      val a = math.abs(v(i).toDouble); if (a > m) m = a
+      i += 1
+    }
+    if (m > 0)
+      new java.math.BigDecimal(m * grid)
+        .setScale(0, java.math.RoundingMode.HALF_UP)
+        .longValueExact()
+    else 0L
+  }
+
   /** Dequantize back to floats given the vector's original maxabs
     * scale. Reconstruction error is bounded by scale/2 = maxabs/254
     * per component — the property QuantizeSpec pins.

@@ -228,6 +228,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.sql.types.LongType), df.schema.treeString)
   }
 
+  test("q60 quantized ANN: probe side broadcast, integer-only output") {
+    val df = SparkEntry.queries("q60_quantized_ann")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "expected the 3-probe side to broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "quantized-probe join must broadcast, not shuffle or cartesian")
+    // the whole asymmetric score path (dot_q * scale_i) is int64 —
+    // the property the oracle hash match depends on
+    assert(df.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType), df.schema.treeString)
+  }
+
   test("q42 IVF: map-only assignment, broadcast joins, long-only output") {
     val df = SparkEntry.queries("q42_ann_ivf")(spark, sf)
     val phys = df.queryExecution.executedPlan.toString()

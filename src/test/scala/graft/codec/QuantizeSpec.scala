@@ -67,6 +67,21 @@ class QuantizeSpec extends AnyFunSuite {
     }
   }
 
+  test("scaleInt: exact grid snap, zero on zero vectors, order-preserving") {
+    assert(Quantize.scaleInt(Array.empty[Float]) == 0L)
+    assert(Quantize.scaleInt(Array(0.0f, -0.0f)) == 0L)
+    // 0.5 is exact in binary: 0.5 * 2^20 = 524288 exactly
+    assert(Quantize.scaleInt(Array(0.5f, -0.25f)) == 524288L)
+    assert(Quantize.scaleInt(Array(-0.5f)) == 524288L)
+    forAll(Gen.nonEmptyListOf(finiteFloat)) { xs =>
+      val v = xs.toArray
+      val m = v.iterator.map(x => math.abs(x.toDouble)).foldLeft(0.0)(math.max)
+      val s = Quantize.scaleInt(v)
+      // snapped scale is within half a grid step of the true scale
+      assert(math.abs(s - m * 1048576.0) <= 0.5 + 1e-9)
+    }
+  }
+
   test("quantized ints round-trip the int codec selector bit-exactly") {
     forAll(Gen.nonEmptyListOf(finiteFloat)) { xs =>
       val q = Quantize.int8(xs.toArray)
