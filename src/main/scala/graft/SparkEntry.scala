@@ -792,6 +792,92 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // Bloom-prefiltered decontamination — q50's exact join restructured
+    // the way a 100 TB pipeline actually runs it: the benchmark shingle
+    // set folds into a Bloom filter (partition-local partials, OR-merged
+    // on the driver — WordCount longs per partition cross the wire,
+    // independent of benchmark size — then broadcast once), every
+    // training shingle is screened map-side ("definitely clean" needs
+    // no further work, no shuffle), and the exact verify join runs ONLY
+    // on Bloom hits. No false negatives, so true contamination counts
+    // equal the exact join's; false positives just add verify work and
+    // are accounted per-source. Bit positions are md5 windows
+    // (Bloom.positions), so DuckDB reproduces every verdict exactly.
+    "q61_bloom_decontaminate" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val thr = graft.sampling.Mix.thresholdHex(0.02)
+      val raw = t(s, dir, "documents")
+        .select(col("doc_id"), graft.sampling.Mix.keyCol(col("doc_id")).as("k"),
+          col("source"), col("text"))
+      val bench = raw.filter(col("k") < thr).as[(Long, String, String, String)]
+        .flatMap { case (_, _, _, text) =>
+          graft.text.Analyzer.wordShingles(text, k = 5)
+        }
+        .distinct()
+      val bloom = bench.mapPartitions { it =>
+        val w = new Array[Long](graft.text.Bloom.WordCount)
+        it.foreach(graft.text.Bloom.add(w, _))
+        Iterator.single(w)
+      }.collect().foldLeft(new Array[Long](graft.text.Bloom.WordCount))(
+        graft.text.Bloom.merge)
+      val bloomBc = s.sparkContext.broadcast(bloom)
+      val probes = raw.filter(col("k") >= thr).as[(Long, String, String, String)]
+        .mapPartitions { it =>
+          val w = bloomBc.value
+          it.flatMap { case (_, _, src, text) =>
+            graft.text.Analyzer.wordShingles(text, k = 5).iterator.map { sh =>
+              val hit = graft.text.Bloom.contains(w, sh)
+              (src, if (hit) sh else null, if (hit) 1L else 0L)
+            }
+          }
+        }
+        .toDF("source", "sh", "hit")
+      val counts = probes.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_probes"), sum(col("hit")).as("n_bloom_hits"))
+      val trueHits = probes.filter(col("hit") === 1L)
+        .join(broadcast(bench.toDF("sh")), "sh")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_true_hits"))
+      counts.join(trueHits, Seq("source"), "left")
+        .select(col("source"), col("n_probes"), col("n_bloom_hits"),
+          coalesce(col("n_true_hits"), lit(0L)).as("n_true_hits"),
+          (col("n_bloom_hits") - coalesce(col("n_true_hits"), lit(0L)))
+            .as("n_false_pos"))
+        .orderBy(col("source"))
+    }),
+
+    // Deterministic epoch upsampling to per-source mixture weights —
+    // the "epochs per source" step of a training run (low-resource
+    // sources repeat >1 epoch, oversampled ones keep a fraction).
+    // Weights derive from the source index: w = 0.25 + (n % 5) * 0.5
+    // epochs, i.e. w4 = quarter-epochs in {1,3,5,7,9}. Each doc gets
+    // w4 DIV 4 full copies plus one more iff its 32-bit mix key falls
+    // below (w4 % 4) * 2^30 — a pure integer comparison: deterministic,
+    // monotone in w (raising a weight only ADDS copies), and
+    // partitioning-independent. Copies then land in 8 training shards
+    // by a per-copy hash so every shard gets an unbiased mixture
+    // slice. Built-ins end to end (md5/conv/sequence/explode, all
+    // codegen'd), map-only until the final per-(source, shard) agg.
+    "q62_epoch_upsample" -> ((s, dir) => {
+      val key32 = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":"), col("source"))), 1, 8), 16, 10).cast("long")
+      val shardKey = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":"), col("copy").cast("string"))), 1, 8), 16, 10).cast("long")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("w4",
+          lit(1L) + (substring(col("source"), 4, 10).cast("long") % 5) * 2)
+        .withColumn("n_copies", expr("w4 DIV 4") +
+          when(key32 < (col("w4") % 4) * lit(1073741824L), 1L).otherwise(0L))
+        .withColumn("copy", explode(
+          when(col("n_copies") >= 1, sequence(lit(1L), col("n_copies")))
+            .otherwise(array().cast("array<bigint>"))))
+        .withColumn("shard", shardKey % 8)
+        .groupBy(col("source"), col("shard"))
+        .agg(count(lit(1)).as("n_copies"), sum(col("n_chars")).as("n_tokens"))
+        .orderBy(col("source"), col("shard"))
+    }),
+
     // projection-aware decode: ids/lengths/sources read from an at-rest
     // chunks table WITHOUT touching the token payload — the scan prunes
     // tokens_enc (parquet column pruning) and the kernel skips token
@@ -1833,6 +1919,87 @@ object SparkEntry {
         |      ORDER BY dot_q * scale_i DESC, vec_id) AS BIGINT) AS rank
         |  FROM pairs) WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+
+    // the Bloom verdict re-derived from set-bit POSITIONS (equivalent
+    // to the packed words): hit iff both md5-window positions of the
+    // probe shingle appear among the benchmark set's positions. The
+    // hex->int windows are nibble-reduces of md5 chars 1-8 and 9-16 —
+    // the same big-endian value Bloom.positions computes from bytes.
+    "q61_bloom_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS k,
+        |    list_distinct(list_transform(range(1, len(w) - 3),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |           w[i+3] || ' ' || w[i+4])) AS sh
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+        |        FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(sh) AS s FROM d WHERE k < '051eb852'),
+        |bpos AS (SELECT DISTINCT p FROM (
+        |  SELECT unnest([
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> CAST(instr('0123456789abcdef', substring(md5(s), i, 1)) - 1
+        |        AS BIGINT)), (a, x) -> a * 16 + x) % 65536,
+        |    list_reduce(list_transform(range(9, 17),
+        |      i -> CAST(instr('0123456789abcdef', substring(md5(s), i, 1)) - 1
+        |        AS BIGINT)), (a, x) -> a * 16 + x) % 65536]) AS p
+        |  FROM bench)),
+        |tr AS (SELECT source, unnest(sh) AS s FROM d WHERE k >= '051eb852'),
+        |pr AS (
+        |  SELECT source, s,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> CAST(instr('0123456789abcdef', substring(md5(s), i, 1)) - 1
+        |        AS BIGINT)), (a, x) -> a * 16 + x) % 65536 AS p1,
+        |    list_reduce(list_transform(range(9, 17),
+        |      i -> CAST(instr('0123456789abcdef', substring(md5(s), i, 1)) - 1
+        |        AS BIGINT)), (a, x) -> a * 16 + x) % 65536 AS p2
+        |  FROM tr),
+        |h AS (
+        |  SELECT source, s,
+        |    CASE WHEN p1 IN (SELECT p FROM bpos)
+        |          AND p2 IN (SELECT p FROM bpos) THEN 1 ELSE 0 END AS hit
+        |  FROM pr)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_probes,
+        |  CAST(sum(hit) AS BIGINT) AS n_bloom_hits,
+        |  CAST(sum(CASE WHEN hit = 1 AND s IN (SELECT s FROM bench)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_true_hits,
+        |  CAST(sum(hit) - sum(CASE WHEN hit = 1 AND s IN (SELECT s FROM bench)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
+
+    // same quarter-epoch weights, integer fractional-copy rule, and
+    // per-copy shard hash; range(1, n+1) is end-exclusive = [1..n]
+    "q62_epoch_upsample" ->
+      """WITH b AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(substring(source, 4) AS BIGINT) AS srcn,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> CAST(instr('0123456789abcdef',
+        |        substring(md5(CAST(doc_id AS VARCHAR) || ':' || source), i, 1))
+        |        - 1 AS BIGINT)), (a, x) -> a * 16 + x) AS key32
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_chars,
+        |    (1 + (srcn % 5) * 2) // 4
+        |      + CASE WHEN key32 < ((1 + (srcn % 5) * 2) % 4) * 1073741824
+        |        THEN 1 ELSE 0 END AS nc
+        |  FROM b),
+        |e AS (
+        |  SELECT doc_id, source, n_chars,
+        |    unnest(range(1, nc + 1)) AS copy
+        |  FROM c WHERE nc >= 1),
+        |f AS (
+        |  SELECT source, n_chars,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> CAST(instr('0123456789abcdef',
+        |        substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |          CAST(copy AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+        |      (a, x) -> a * 16 + x) % 8 AS shard
+        |  FROM e)
+        |SELECT source, shard, CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_tokens
+        |FROM f GROUP BY source, shard ORDER BY source, shard""".stripMargin,
 
     "q27_decode_meta_only" ->
       """SELECT source, count(*) AS n_docs,

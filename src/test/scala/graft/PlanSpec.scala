@@ -241,6 +241,26 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.sql.types.LongType), df.schema.treeString)
   }
 
+  test("q61 bloom decontamination: verify join broadcasts, probe side never sort-merges") {
+    val df = SparkEntry.queries("q61_bloom_decontaminate")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "exact-verify join against the benchmark shingle set must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      s"no shuffle join anywhere in the two-stage pipeline: ${p.take(600)}")
+  }
+
+  test("q62 epoch upsample: no join, map-only explode feeding one real agg") {
+    val df = SparkEntry.queries("q62_epoch_upsample")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "upsampling is a per-row rule — no join may appear")
+    // shuffles: exactly the final agg exchange + the presentation sort
+    val shuffles = "Exchange (hashpartitioning|rangepartitioning)".r
+      .findAllIn(p).size
+    assert(shuffles <= 2, s"expected agg + sort exchanges only, got $shuffles:\n${p.take(600)}")
+  }
+
   test("q42 IVF: map-only assignment, broadcast joins, long-only output") {
     val df = SparkEntry.queries("q42_ann_ivf")(spark, sf)
     val phys = df.queryExecution.executedPlan.toString()
