@@ -792,6 +792,61 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // IVF-SQ8: the full FAISS inverted-file + scalar-quantizer search —
+    // coarse assignment at x1000 precision (q42's quantizer; FAISS also
+    // runs its coarse quantizer at higher precision than the stored
+    // codes), storage and scoring over the 4x-compressed SQ8 codes with
+    // q60's integer asymmetric score (dot_q * scaleInt). At 100 TB this
+    // is THE production vector-search configuration: nProbe cells bound
+    // candidate volume (q42's property) while SQ8 bounds scan bandwidth
+    // (q60's property). Pure int64 end to end — hash-exact oracle.
+    "q63_ivf_sq8" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val spark = s
+      import spark.implicits._
+      val sq8 = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          it.map { case (id, v) =>
+            (id, v, graft.codec.Quantize.int8(v).map(_.toLong),
+              graft.codec.Quantize.scaleInt(v))
+          }
+        }
+        .toDF("vec_id", "embedding", "qe", "scale_i")
+      val base = sq8
+        .withColumn("ce",
+          expr("transform(embedding, x -> bigint(round(double(x) * 1000D)))"))
+        .drop("embedding")
+      val cents = base.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("ce").as("cc"))
+        .agg(collect_list(struct(col("cent_id"), col("cc"))).as("cents"))
+      def cellsOf(vec: String, take: Int) = expr(
+        s"""transform(slice(array_sort(transform(cents, c -> named_struct(
+           |  'd2', aggregate(zip_with($vec, c.cc, (x, y) -> (x - y) * (x - y)),
+           |                  0L, (acc, v) -> acc + v),
+           |  'cid', c.cent_id))), 1, $take), s -> s.cid)""".stripMargin)
+      val assigned = base.crossJoin(broadcast(cents))
+        .withColumn("cent_id", cellsOf("ce", 1).getItem(0))
+        .select(col("vec_id"), col("qe"), col("scale_i"), col("cent_id"))
+      val probeCells = base.filter(col("vec_id") < 3).crossJoin(broadcast(cents))
+        .select(col("vec_id").as("qid"), col("qe").as("qqe"),
+          explode(cellsOf("ce", 2)).as("cent_id"))
+      val dot = expr(
+        "aggregate(zip_with(qe, qqe, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("vec_id"))
+      assigned.join(broadcast(probeCells), Seq("cent_id"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("dot_q", dot)
+        .withColumn("score", col("dot_q") * col("scale_i"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vec_id"), col("cent_id"),
+          col("dot_q"), col("scale_i"), col("score"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // Bloom-prefiltered decontamination — q50's exact join restructured
     // the way a 100 TB pipeline actually runs it: the benchmark shingle
     // set folds into a Bloom filter (partition-local partials, OR-merged
@@ -1918,6 +1973,52 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY qid
         |      ORDER BY dot_q * scale_i DESC, vec_id) AS BIGINT) AS rank
         |  FROM pairs) WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
+    // q42's coarse assignment (x1000 L2, tie-break cent_id) + q60's
+    // SQ8 scoring CTE, both integer-exact as proven by those oracles
+    "q63_ivf_sq8" ->
+      """WITH m2 AS (
+        |  SELECT vec_id, de, list_max(list_transform(de, x -> abs(x))) AS m
+        |  FROM (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+        |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+        |        FROM embeddings)),
+        |cv AS (
+        |  SELECT vec_id,
+        |    list_transform(de, x -> CAST(round(x * 1000) AS BIGINT)) AS ce,
+        |    CASE WHEN m > 0
+        |      THEN list_transform(de, x -> CAST(round(x * 127.0 / m) AS BIGINT))
+        |      ELSE list_transform(de, x -> CAST(0 AS BIGINT)) END AS qe,
+        |    CASE WHEN m > 0 THEN CAST(round(m * 1048576.0) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS scale_i
+        |  FROM m2),
+        |cents AS (SELECT vec_id AS cent_id, ce AS cc FROM cv WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, qe, scale_i, cent_id FROM (
+        |    SELECT v.vec_id, v.qe, v.scale_i, c.cent_id,
+        |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(v.ce, c.cc),
+        |          p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cent_id) AS rk
+        |    FROM cv v, cents c) WHERE rk = 1),
+        |probe_cells AS (
+        |  SELECT qid, qqe, cent_id FROM (
+        |    SELECT p.vec_id AS qid, p.qe AS qqe, c.cent_id,
+        |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(p.ce, c.cc),
+        |          p2 -> (p2[1] - p2[2]) * (p2[1] - p2[2]))), c.cent_id) AS rk
+        |    FROM cv p, cents c WHERE p.vec_id < 3) WHERE rk <= 2),
+        |cand AS (
+        |  SELECT pc.qid, a.vec_id, a.cent_id, a.scale_i,
+        |    CAST(list_sum(list_transform(list_zip(a.qe, pc.qqe),
+        |      p -> p[1] * p[2])) AS BIGINT) AS dot_q
+        |  FROM assigned a JOIN probe_cells pc ON a.cent_id = pc.cent_id
+        |  WHERE a.vec_id <> pc.qid)
+        |SELECT qid, rank, vec_id, cent_id, dot_q, scale_i, score FROM (
+        |  SELECT qid, vec_id, cent_id, dot_q, scale_i,
+        |    dot_q * scale_i AS score,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY dot_q * scale_i DESC, vec_id) AS BIGINT) AS rank
+        |  FROM cand) WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
 
     // the Bloom verdict re-derived from set-bit POSITIONS (equivalent

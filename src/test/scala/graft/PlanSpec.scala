@@ -241,6 +241,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.sql.types.LongType), df.schema.treeString)
   }
 
+  test("q63 IVF-SQ8: broadcast joins only, long-only output") {
+    val df = SparkEntry.queries("q63_ivf_sq8")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "centroid + probe-cell joins must broadcast, not shuffle or cartesian")
+    assert(df.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType), df.schema.treeString)
+  }
+
   test("q61 bloom decontamination: verify join broadcasts, probe side never sort-merges") {
     val df = SparkEntry.queries("q61_bloom_decontaminate")(spark, sf)
     val p = df.queryExecution.executedPlan.toString()
