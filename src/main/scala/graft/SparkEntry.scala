@@ -1355,6 +1355,68 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // near-dup PAIRS -> dedup DECISION: connected components over the
+    // q38 pair graph (iterative min-label propagation — see
+    // similarity/Components.scala for the scale argument), each doc
+    // labeled with its cluster's min doc_id; keeper = the canonical
+    // representative. The oracle reproduces the fixpoint with a DuckDB
+    // recursive-CTE transitive closure over the identical pair set —
+    // exact, because the min-id-per-component fixpoint is independent
+    // of iteration order and partitioning.
+    "q64_neardup_clusters" -> ((s, dir) => {
+      val pairs = queries("q38_shingle_neardup_pairs")(s, dir)
+      graft.similarity.Components.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+          (col("id") === col("lbl")).as("keeper"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // dedup APPLIED: drop every non-canonical near-dup cluster member
+    // and report the surviving corpus per source. The anti-join's
+    // build side is the loser set (~dup count, tiny vs corpus), so at
+    // 10^9 docs this is one broadcast anti-join over the corpus scan —
+    // the corpus itself is never shuffled.
+    "q65_dedup_apply" -> ((s, dir) => {
+      val pairs = queries("q38_shingle_neardup_pairs")(s, dir)
+      val losers = graft.similarity.Components.connectedComponents(pairs)
+        .filter(col("id") =!= col("lbl"))
+        .select(col("id").as("doc_id"))
+      t(s, dir, "documents")
+        .join(broadcast(losers), Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_sum"))
+        .orderBy(col("source"))
+    }),
+
+    // EXACT distributed quantiles (p50/p90/p99 of n_chars per source)
+    // via the histogram-cumsum formulation: groupBy (source, value)
+    // compresses the corpus to its value histogram FIRST (map-side
+    // partial aggregation — the only full-data shuffle), then the
+    // ordered cumulative sum runs over histogram rows only. A naive
+    // row_number() window over raw rows would sort each source's
+    // entire 10^11-row slice inside max-#sources tasks; here the
+    // window input is |distinct values| rows per source (bounded by
+    // the value domain, not the corpus). Rank arithmetic is pure
+    // integer (ceil(q*n) = (q_num*n + q_den-1) DIV q_den), so the
+    // oracle hash-matches with no float quantile semantics involved.
+    "q66_exact_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = t(s, dir, "documents")
+        .groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("c"))
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("source")).orderBy(col("n_chars"))))
+        .withColumn("cnt", sum(col("c")).over(
+          Window.partitionBy(col("source"))))
+      cum.groupBy(col("source"))
+        .agg(max(col("cnt")).as("n_docs"),
+          min(when(col("cum") >= expr("(cnt + 1) DIV 2"), col("n_chars"))).as("p50"),
+          min(when(col("cum") >= expr("(cnt * 9 + 9) DIV 10"), col("n_chars"))).as("p90"),
+          min(when(col("cum") >= expr("(cnt * 99 + 99) DIV 100"), col("n_chars"))).as("p99"))
+        .orderBy(col("source"))
+    }),
+
     // ---- rows-only entries (not ANSI-SQL-expressible identically) ----
 
     // ANN: brute-force cosine top-5 for 3 probe vectors (float math —
@@ -1537,7 +1599,87 @@ object SparkEntry {
     })
   )
 
+  /** Shared oracle CTE chain producing the q38 near-dup pair set
+    * (ends in `pairs(a, b)`): q38 selects it directly; q64/q65 build
+    * the connected-components closure on top of the identical graph.
+    */
+  private val shinglePairsCte: String =
+    """d AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      |sig AS (
+      |  SELECT doc_id,
+      |    list_min(list_transform(sh, x -> substr(md5(x), 1, 8))) AS mh0,
+      |    list_min(list_transform(sh, x -> substr(md5(x), 9, 8))) AS mh1,
+      |    list_min(list_transform(sh, x -> substr(md5(x), 17, 8))) AS mh2,
+      |    list_min(list_transform(sh, x -> substr(md5(x), 25, 8))) AS mh3
+      |  FROM d),
+      |bands AS (
+      |  SELECT 0 AS band, mh0 AS bucket, doc_id FROM sig
+      |  UNION ALL SELECT 1, mh1, doc_id FROM sig
+      |  UNION ALL SELECT 2, mh2, doc_id FROM sig
+      |  UNION ALL SELECT 3, mh3, doc_id FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      |  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
+      |  WHERE l.doc_id < r.doc_id AND l.bucket IS NOT NULL),
+      |j AS (
+      |  SELECT a, b,
+      |    CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS inter,
+      |    CAST(len(list_distinct(list_concat(da.sh, db.sh))) AS BIGINT) AS uni
+      |  FROM cand
+      |  JOIN d da ON da.doc_id = a
+      |  JOIN d db ON db.doc_id = b),
+      |pairs AS (SELECT a, b FROM j WHERE uni > 0 AND inter * 2 >= uni)""".stripMargin
+
+  /** Connected-components closure over [[shinglePairsCte]]'s pair set:
+    * `cluster(doc_id, cluster_id)` = min reachable id per vertex, the
+    * exact fixpoint Components.connectedComponents converges to.
+    */
+  private val neardupClusterCte: String =
+    shinglePairsCte +
+      """,
+        |edges AS (
+        |  SELECT a AS u, b AS v FROM pairs
+        |  UNION ALL SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        |cluster AS (
+        |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+        |  FROM reach GROUP BY u)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q64_neardup_clusters" ->
+      s"""WITH RECURSIVE $neardupClusterCte
+         |SELECT doc_id, cluster_id, doc_id = cluster_id AS keeper
+         |FROM cluster ORDER BY doc_id""".stripMargin,
+
+    "q65_dedup_apply" ->
+      s"""WITH RECURSIVE $neardupClusterCte
+         |SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars_sum
+         |FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM cluster WHERE doc_id <> cluster_id)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q66_exact_quantiles" ->
+      """WITH h AS (
+        |  SELECT source, n_chars, count(*) AS c
+        |  FROM documents GROUP BY source, n_chars),
+        |cum AS (
+        |  SELECT source, n_chars,
+        |    sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+        |    sum(c) OVER (PARTITION BY source) AS cnt
+        |  FROM h)
+        |SELECT source, max(cnt) AS n_docs,
+        |  min(CASE WHEN cum >= (cnt + 1) // 2 THEN n_chars END) AS p50,
+        |  min(CASE WHEN cum >= (cnt * 9 + 9) // 10 THEN n_chars END) AS p90,
+        |  min(CASE WHEN cum >= (cnt * 99 + 99) // 100 THEN n_chars END) AS p99
+        |FROM cum GROUP BY source ORDER BY source""".stripMargin,
+
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 45
@@ -1708,36 +1850,8 @@ object SparkEntry {
         |FROM documents WHERE source = 'src1' ORDER BY doc_id""".stripMargin,
 
     "q38_shingle_neardup_pairs" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(w) - 1),
-        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-        |sig AS (
-        |  SELECT doc_id,
-        |    list_min(list_transform(sh, x -> substr(md5(x), 1, 8))) AS mh0,
-        |    list_min(list_transform(sh, x -> substr(md5(x), 9, 8))) AS mh1,
-        |    list_min(list_transform(sh, x -> substr(md5(x), 17, 8))) AS mh2,
-        |    list_min(list_transform(sh, x -> substr(md5(x), 25, 8))) AS mh3
-        |  FROM d),
-        |bands AS (
-        |  SELECT 0 AS band, mh0 AS bucket, doc_id FROM sig
-        |  UNION ALL SELECT 1, mh1, doc_id FROM sig
-        |  UNION ALL SELECT 2, mh2, doc_id FROM sig
-        |  UNION ALL SELECT 3, mh3, doc_id FROM sig),
-        |cand AS (
-        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-        |  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket
-        |  WHERE l.doc_id < r.doc_id AND l.bucket IS NOT NULL),
-        |j AS (
-        |  SELECT a, b,
-        |    CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS inter,
-        |    CAST(len(list_distinct(list_concat(da.sh, db.sh))) AS BIGINT) AS uni
-        |  FROM cand
-        |  JOIN d da ON da.doc_id = a
-        |  JOIN d db ON db.doc_id = b)
-        |SELECT a, b FROM j WHERE uni > 0 AND inter * 2 >= uni
-        |ORDER BY a, b""".stripMargin,
+      s"""WITH $shinglePairsCte
+         |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin,
 
     // exact oracle for Analyzer.winnow (k=8, w=16): poly-31 k-gram hash
     // + splitmix64 finalize re-expressed in wrapping mod-2^64 HUGEINT

@@ -1,0 +1,92 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components over a near-duplicate pair graph —
+  * the step that turns q38/q41-style candidate PAIRS into an actual
+  * dedup DECISION (one canonical keeper per cluster).
+  *
+  * Algorithm: iterative min-label propagation ("hash-to-min" family,
+  * Rastogi/Machanavajjhala/Chitnis/Das Sarma, ICDE 2013; the
+  * large-star/small-star refinement is Kiveris et al., SoCC 2014).
+  * Every vertex starts labeled with its own id; each round it adopts
+  * the minimum label among itself and its neighbors. Convergence is
+  * reached in O(diameter) rounds, and near-dup graphs have tiny
+  * diameters by construction: an edge means >=50% shingle Jaccard, so
+  * components are dense clusters of mutual near-copies, not long
+  * chains — in practice 2-4 rounds. Each round is one shuffle-join of
+  * the edge list (partitioned ONCE by vertex and persisted — the big
+  * side never re-shuffles) against the much smaller label table, plus
+  * a map-side-combined min aggregate. At 10^9 docs with ~1% dups the
+  * label table is ~10^7 rows — broadcast-sized — while the corpus
+  * itself never enters the computation at all: only the pair graph
+  * does.
+  *
+  * Determinism: the fixpoint (min id per component) is independent of
+  * iteration order and partitioning, so the output is exact and
+  * oracle-checkable (DuckDB recursive-CTE transitive closure).
+  *
+  * Convergence detection is a single scalar aggregate per round
+  * (sum of labels, strictly decreasing until the fixpoint — labels
+  * only ever decrease, so an unchanged sum means an unchanged table).
+  * `localCheckpoint` cuts the growing lineage each round; on a real
+  * cluster with lost-executor risk, swap for reliable `checkpoint`
+  * to HDFS — one line, noted here rather than silently defaulted.
+  */
+object Components {
+
+  /** @param pairs DataFrame with two long columns (a, b) — undirected
+    *              edges, self-loops and duplicates tolerated.
+    * @return DataFrame (id: long, lbl: long) — every vertex that
+    *         appears in `pairs`, labeled with the min id of its
+    *         component. Vertices absent from `pairs` are singletons by
+    *         definition and are NOT emitted (callers anti-join or
+    *         treat absence as keeper).
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 64): DataFrame = {
+    val p = pairs.toDF("a", "b")
+    val edges = p.select(col("a").as("u"), col("b").as("v"))
+      .union(p.select(col("b").as("u"), col("a").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .repartition(col("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint()
+    if (labels.isEmpty) { edges.unpersist(); return labels }
+
+    def lblSum(df: DataFrame): Long =
+      df.agg(sum(col("lbl"))).head().getLong(0)
+
+    var prevSum = lblSum(labels)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      // min neighbor label per vertex: edges (partitioned by u once,
+      // never reshuffled) join the label table on the neighbor side,
+      // then a map-side-combined min by u
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("lbl").as("vlbl")), Seq("v"))
+        .groupBy(col("u")).agg(min(col("vlbl")).as("nlbl"))
+      val next = labels
+        .join(nbrMin.select(col("u").as("id"), col("nlbl")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val s = lblSum(next)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIters rounds " +
+          "(component diameter exceeds the iteration budget)")
+    labels
+  }
+}

@@ -361,4 +361,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the bin key makes it an equi join (broadcast or shuffled-hash both fine)
     assert(p.contains("Join"), "expected the binned equi-join")
   }
+
+  test("q65 dedup apply: loser set broadcast-anti-joins, corpus never shuffled pre-agg") {
+    val df = SparkEntry.queries("q65_dedup_apply")(spark, sf)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected a broadcast LEFT ANTI join dropping cluster losers:\n${p.take(1500)}")
+    // the documents scan must feed the anti join directly — any exchange
+    // between the corpus scan and the anti join would reshuffle the
+    // corpus at 10^9 docs. The only exchanges are the final groupBy's
+    // and the broadcast build side's.
+    assert(!p.contains("SortMergeJoin"),
+      "corpus side must not sort-merge against the tiny loser set")
+  }
+
+  test("q66 exact quantiles: window runs over the value histogram, not raw rows") {
+    val df = SparkEntry.queries("q66_exact_quantiles")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    // histogram-first: a partial+final HashAggregate pair must appear
+    // BELOW the window (the corpus compresses to |distinct values|
+    // rows before any per-source sort)
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"expected HashAggregate below the Window (histogram-first):\n${p.take(1500)}")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "histogram groupBy lost its map-side partial aggregation")
+  }
 }
