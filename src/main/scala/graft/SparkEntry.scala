@@ -1445,6 +1445,84 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // duplicate-PASSAGE detection (8-gram grain, the RefinedWeb /
+    // "Deduplicating Training Data Makes Language Models Better"
+    // (Lee et al. 2022) substring-dedup signal at word-shingle
+    // resolution): per-doc distinct 8-gram fingerprints, grams shared
+    // by >= 2 docs flagged, per-source exposure reported. Fingerprints
+    // are 64-bit (8 B/gram through the shuffle, q50's argument); the
+    // oracle recomputes on raw strings, doubling as the collision
+    // check. Scale: the (doc, fp) stream shuffles ONCE (groupBy fp,
+    // map-side combinable since per-doc fps are pre-deduped); the
+    // dup-fp set — tiny by Zipf — joins back fp-clustered (no second
+    // full shuffle under AQE); the final per-source distinct counts
+    // run over dup hits only, not the corpus.
+    "q67_dup_passages" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text")).as[(Long, String, String)]
+        .flatMap { case (id, src, text) =>
+          graft.text.Analyzer.wordShingleHash64(text, k = 8).iterator.map(fp => (id, src, fp))
+        }
+        .toDF("doc_id", "source", "fp")
+      // per-doc fps are distinct by construction, so count(*) per fp
+      // IS the distinct-doc count — no countDistinct expand needed here
+      val dup = grams.groupBy(col("fp"))
+        .agg(count(lit(1)).as("ndocs"))
+        .filter(col("ndocs") >= 2)
+        .select(col("fp"))
+      grams.join(dup, Seq("fp"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_with_dup"),
+          count(lit(1)).as("n_dup_gram_hits"),
+          countDistinct(col("fp")).as("n_dup_grams"))
+        .orderBy(col("source"))
+    }),
+
+    // C4/Gopher-style quality-filter FUNNEL (sequential rules with
+    // per-stage rejection accounting — the observability surface every
+    // production cleaning pipeline needs): min-words -> language ->
+    // repetition (q54's integer rule) -> stopword marker. One typed
+    // map assigns each doc its first-failing-rule stage (0 = survivor);
+    // everything after is a 5-group aggregate plus window arithmetic
+    // over FOUR rows. All rules integer/string-exact, so the funnel is
+    // hash-checkable end to end.
+    "q68_filter_funnel" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val staged = t(s, dir, "documents")
+        .select(col("lang"), col("text")).as[(String, String)]
+        .map { case (lang, text) =>
+          val st = graft.text.Analyzer.repetitionStats(text)
+          // thresholds tuned so every stage fires on the synthetic
+          // corpus (Gopher's 0.2 repetition bar rejects nothing here;
+          // 0.1 = integer 10*max >= n rejects a measurable slice)
+          val repetitive = st.n2grams > 0 && st.max2gramCount * 10 >= st.n2grams
+          if (st.nWords < 16) 1L
+          else if (lang != "en" && lang != "de") 2L
+          else if (repetitive) 3L
+          else if (!text.contains(" the ")) 4L
+          else 0L
+        }.toDF("stage")
+      val counts = staged.groupBy(col("stage")).agg(count(lit(1)).as("n"))
+      val dim = Seq((1L, "min_words"), (2L, "lang"), (3L, "repetition"),
+        (4L, "stopword")).toDF("stage", "rule")
+      val total = counts.agg(sum(col("n")).as("total"))
+      // single-partition window is fine: it runs over exactly 4 rows
+      val w = Window.orderBy(col("stage")).rowsBetween(Window.unboundedPreceding, -1)
+      dim.join(counts, Seq("stage"), "left")
+        .withColumn("n_rejected", coalesce(col("n"), lit(0L)))
+        .crossJoin(broadcast(total))
+        .withColumn("prev_rej", coalesce(sum(col("n_rejected")).over(w), lit(0L)))
+        .select(col("stage"), col("rule"),
+          (col("total") - col("prev_rej")).as("n_in"),
+          col("n_rejected"),
+          (col("total") - col("prev_rej") - col("n_rejected")).as("n_out"))
+        .orderBy(col("stage"))
+    }),
+
     // ---- rows-only entries (not ANSI-SQL-expressible identically) ----
 
     // ANN: brute-force cosine top-5 for 3 probe vectors (float math —
@@ -1692,6 +1770,51 @@ object SparkEntry {
          |FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM cluster WHERE doc_id <> cluster_id)
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q67_dup_passages" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |g0 AS (SELECT doc_id, source,
+        |  unnest(list_transform(range(1, len(w) - 6), i ->
+        |    w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+        |    w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7])) AS g8
+        |  FROM w),
+        |g AS (SELECT DISTINCT doc_id, source, g8 FROM g0),
+        |d AS (SELECT g8 FROM g GROUP BY g8 HAVING count(*) >= 2)
+        |SELECT g.source,
+        |  CAST(count(DISTINCT g.doc_id) AS BIGINT) AS n_docs_with_dup,
+        |  CAST(count(*) AS BIGINT) AS n_dup_gram_hits,
+        |  CAST(count(DISTINCT g.g8) AS BIGINT) AS n_dup_grams
+        |FROM g JOIN d USING (g8)
+        |GROUP BY g.source ORDER BY g.source""".stripMargin,
+
+    "q68_filter_funnel" ->
+      """WITH w AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g2 FROM w),
+        |gc AS (SELECT doc_id, g2, count(*) AS c FROM g GROUP BY doc_id, g2),
+        |m AS (SELECT doc_id, max(c) AS mx FROM gc GROUP BY doc_id),
+        |st AS (SELECT w.doc_id,
+        |  CASE WHEN len(w.w) < 16 THEN 1
+        |       WHEN w.lang NOT IN ('en', 'de') THEN 2
+        |       WHEN len(w.w) > 1 AND coalesce(m.mx, 0) * 10 >= len(w.w) - 1 THEN 3
+        |       WHEN w.text NOT LIKE '% the %' THEN 4
+        |       ELSE 0 END AS stage
+        |  FROM w LEFT JOIN m ON w.doc_id = m.doc_id),
+        |c AS (SELECT stage, count(*) AS n FROM st GROUP BY stage),
+        |dim(stage, rule) AS (VALUES (1, 'min_words'), (2, 'lang'),
+        |  (3, 'repetition'), (4, 'stopword')),
+        |f AS (SELECT dim.stage, dim.rule, coalesce(c.n, 0) AS n_rejected
+        |      FROM dim LEFT JOIN c USING (stage)),
+        |tot AS (SELECT sum(n) AS total FROM c),
+        |acc AS (SELECT stage, rule, n_rejected,
+        |  coalesce(sum(n_rejected) OVER (ORDER BY stage
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_rej
+        |  FROM f)
+        |SELECT CAST(acc.stage AS BIGINT) AS stage, acc.rule,
+        |  CAST(tot.total - acc.prev_rej AS BIGINT) AS n_in,
+        |  CAST(acc.n_rejected AS BIGINT) AS n_rejected,
+        |  CAST(tot.total - acc.prev_rej - acc.n_rejected AS BIGINT) AS n_out
+        |FROM acc, tot ORDER BY acc.stage""".stripMargin,
 
     "q66_exact_quantiles" ->
       """WITH h AS (
