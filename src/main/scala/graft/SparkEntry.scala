@@ -1490,6 +1490,32 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // cross-source duplicate-overlap MATRIX — the provenance view of
+    // q67's passage-level duplication: for every source pair, how many
+    // distinct 8-gram passages they share (mirror-site detection, the
+    // "which dumps copy from which" question asked before weighting a
+    // training mix). Same 64-bit gram kernel as q67; the (source, fp)
+    // distinct set shuffles once on fp, the self-join stays
+    // fp-co-clustered, and its output is quadratic only in the
+    // SOURCES-PER-GRAM count (rare by Zipf), never in corpus size.
+    "q69_source_overlap" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val bySrc = t(s, dir, "documents")
+        .select(col("source"), col("text")).as[(String, String)]
+        .flatMap { case (src, text) =>
+          graft.text.Analyzer.wordShingleHash64(text, k = 8).iterator.map(fp => (src, fp))
+        }
+        .toDF("source", "fp")
+        .distinct()
+      bySrc.select(col("source").as("src_a"), col("fp"))
+        .join(bySrc.select(col("source").as("src_b"), col("fp")), Seq("fp"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared_grams"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // C4/Gopher-style quality-filter FUNNEL (sequential rules with
     // per-stage rejection accounting — the observability surface every
     // production cleaning pipeline needs): min-words -> language ->
@@ -1768,6 +1794,19 @@ object SparkEntry {
         |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
         |  FROM reach GROUP BY u)""".stripMargin
 
+  /** Shared oracle CTE: per-doc word 8-grams (`g0(doc_id, source,
+    * g8)`) — q67 dedups per doc, q69 per source. The end-exclusive
+    * `range(1, len(w) - 6)` is empty for docs under 8 words, matching
+    * the kernel's short-doc guard.
+    */
+  private val gram8Cte: String =
+    """w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |g0 AS (SELECT doc_id, source,
+      |  unnest(list_transform(range(1, len(w) - 6), i ->
+      |    w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
+      |    w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7])) AS g8
+      |  FROM w)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q64_neardup_clusters" ->
       s"""WITH RECURSIVE $neardupClusterCte
@@ -1782,20 +1821,23 @@ object SparkEntry {
          |GROUP BY source ORDER BY source""".stripMargin,
 
     "q67_dup_passages" ->
-      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
-        |g0 AS (SELECT doc_id, source,
-        |  unnest(list_transform(range(1, len(w) - 6), i ->
-        |    w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||
-        |    w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7])) AS g8
-        |  FROM w),
-        |g AS (SELECT DISTINCT doc_id, source, g8 FROM g0),
-        |d AS (SELECT g8 FROM g GROUP BY g8 HAVING count(*) >= 2)
-        |SELECT g.source,
-        |  CAST(count(DISTINCT g.doc_id) AS BIGINT) AS n_docs_with_dup,
-        |  CAST(count(*) AS BIGINT) AS n_dup_gram_hits,
-        |  CAST(count(DISTINCT g.g8) AS BIGINT) AS n_dup_grams
-        |FROM g JOIN d USING (g8)
-        |GROUP BY g.source ORDER BY g.source""".stripMargin,
+      s"""WITH $gram8Cte,
+         |g AS (SELECT DISTINCT doc_id, source, g8 FROM g0),
+         |d AS (SELECT g8 FROM g GROUP BY g8 HAVING count(*) >= 2)
+         |SELECT g.source,
+         |  CAST(count(DISTINCT g.doc_id) AS BIGINT) AS n_docs_with_dup,
+         |  CAST(count(*) AS BIGINT) AS n_dup_gram_hits,
+         |  CAST(count(DISTINCT g.g8) AS BIGINT) AS n_dup_grams
+         |FROM g JOIN d USING (g8)
+         |GROUP BY g.source ORDER BY g.source""".stripMargin,
+
+    "q69_source_overlap" ->
+      s"""WITH $gram8Cte,
+         |g AS (SELECT DISTINCT source, g8 FROM g0)
+         |SELECT l.source AS src_a, r.source AS src_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared_grams
+         |FROM g l JOIN g r ON l.g8 = r.g8 AND l.source < r.source
+         |GROUP BY l.source, r.source ORDER BY l.source, r.source""".stripMargin,
 
     "q68_filter_funnel" ->
       """WITH w AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents),

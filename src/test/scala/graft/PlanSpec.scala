@@ -376,6 +376,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "corpus side must not sort-merge against the tiny loser set")
   }
 
+  test("q67/q69 gram joins: equi on fingerprint, never nested-loop/cartesian") {
+    for (q <- Seq("q67_dup_passages", "q69_source_overlap")) {
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString()
+      assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+        s"$q: gram join fell out of the equi-join shape:\n${p.take(1200)}")
+      // the dup/self join keys on the 64-bit fingerprint — both sides
+      // arrive fp-clustered from the upstream distinct/groupBy
+      assert(p.contains("HashAggregate"), s"$q: expected hash aggregation")
+    }
+  }
+
   test("q66 exact quantiles: window runs over the value histogram, not raw rows") {
     val df = SparkEntry.queries("q66_exact_quantiles")(spark, sf)
     val p = df.queryExecution.executedPlan.toString()
