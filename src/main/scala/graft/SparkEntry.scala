@@ -1559,6 +1559,113 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // inverted-index build — the canonical corpus→posting-list shape
+    // (token → document frequency, collection frequency, doc-id range;
+    // the reference's dictionary-page distinct, schema/encoder.go dict
+    // path, answers the df=0/df>0 half of this). One typed flatMap
+    // emits (token, doc_id, tf) with the per-doc tf pre-counted INSIDE
+    // the row, so the shuffle carries one record per (doc,
+    // distinct-token) — bounded by per-doc vocabulary, never per token
+    // occurrence — then a single partial-agg groupBy(token) folds
+    // df/tf/doc-range. At 100 TB this is the MapReduce index-build
+    // shape; range-partition by token to write bucketed posting
+    // shards. Output projected to the a–z codepoints so the DuckDB
+    // oracle recomputes tf with integer length/replace math.
+    "q70_inverted_index" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      tokenTable(s, dir)
+        .flatMap { r =>
+          val m = scala.collection.mutable.LongMap.empty[Long]
+          r.tokens.foreach { tk => val k = tk.toLong; m(k) = m.getOrElse(k, 0L) + 1L }
+          val id = r.doc_id.toLong
+          m.iterator.map { case (tk, tf) => (tk.toInt, id, tf) }
+        }
+        .toDF("token", "doc_id", "tf")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        // demo projection: the oracle-recomputable a-z slice; the index
+        // itself is built over the full vocabulary above
+        .filter(col("token").between(97, 122))
+        .orderBy(col("token"))
+    }),
+
+    // conjunctive token search over the ENCODED chunks — q45's
+    // Equal-skip-ladder generalized to an AND of probes: a chunk is
+    // decoded only when EVERY probe survives (1) the chunk min/max
+    // stats rung and (2) the dictionary-membership rung
+    // (chunkMayContainToken, O(log distinct) each, zero payload
+    // decode); survivors decode once and per-doc presence of all
+    // probes resolves in a single pass with a bitmask. The reference
+    // composes per-constraint row ranges by intersection
+    // (search/constraint.go:343-463, search/rowrange.go intersect);
+    // here the intersection happens at chunk grain BEFORE any decode,
+    // so the work scales with the rarest probe's posting chunks.
+    "q71_conjunctive_search" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val probes = Array('q'.toInt, 'j'.toInt, 'k'.toInt) // rare codepoints
+      var ch = chunksFor(s, dir, tokensPerChunk = 16384)
+      probes.foreach { p =>
+        ch = ch.filter(col("min_token") <= p && col("max_token") >= p)
+      }
+      val full = (1 << probes.length) - 1
+      ch.flatMap { c =>
+          if (!probes.forall(p => Decoder.chunkMayContainToken(c, p))) Iterator.empty
+          else Decoder.decodeChunk(c).flatMap { r =>
+            var mask = 0
+            r.tokens.foreach { v =>
+              var i = 0
+              while (i < probes.length) {
+                if (v == probes(i)) mask |= 1 << i
+                i += 1
+              }
+            }
+            if (mask == full) Iterator.single((r.doc_id.toLong, r.n_tok.toLong))
+            else Iterator.empty
+          }
+        }
+        .toDF("doc_id", "n_tok")
+        .orderBy(col("doc_id"))
+    }),
+
+    // dataset-version diff — the Iceberg-snapshot question ("what
+    // changed between table version 1 and 2?") answered at doc grain
+    // from content fingerprints, the same view the engine's lineage
+    // table gives per chunk (north rule: resumable, versioned encodes).
+    // v2 is DERIVED deterministically from v1 inside the query (docs
+    // ≡5 mod 7 edited, ≡3 mod 7 removed, clones of ≡4 mod 7 added
+    // under shifted ids) so the oracle can rebuild the identical pair.
+    // Both join inputs project to (doc_id, source, fp=md5) BEFORE the
+    // full-outer join, so at 100 TB the shuffle moves 48-byte
+    // fingerprint rows, never payloads — snapshot diff over a 10^12-doc
+    // corpus costs two metadata scans + one co-partitioned join.
+    "q72_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def fp(df: DataFrame) = df.select(col("doc_id"), col("source"),
+        md5(encode(col("text"), "UTF-8")).as("fp"))
+      val v1 = fp(docs)
+      val v2 = fp(
+        docs.filter(col("doc_id") % 7 =!= 3)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 5, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+          .unionByName(docs.filter(col("doc_id") % 7 === 4)
+            .withColumn("doc_id", col("doc_id") + lit(1000000L))))
+      v1.select(col("doc_id"), col("source").as("src1"), col("fp").as("fp1"))
+        .join(v2.select(col("doc_id"), col("source").as("src2"), col("fp").as("fp2")),
+          Seq("doc_id"), "full_outer")
+        .select(coalesce(col("src1"), col("src2")).as("source"),
+          when(col("fp1").isNull, "added")
+            .when(col("fp2").isNull, "removed")
+            .when(col("fp1") =!= col("fp2"), "changed")
+            .otherwise("same").as("status"))
+        .groupBy(col("source"), col("status"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("status"))
+    }),
+
     // ---- rows-only entries (not ANSI-SQL-expressible identically) ----
 
     // ANN: brute-force cosine top-5 for 3 probe vectors (float math —
@@ -1867,6 +1974,44 @@ object SparkEntry {
         |  CAST(acc.n_rejected AS BIGINT) AS n_rejected,
         |  CAST(tot.total - acc.prev_rej - acc.n_rejected AS BIGINT) AS n_out
         |FROM acc, tot ORDER BY acc.stage""".stripMargin,
+
+    "q70_inverted_index" ->
+      """WITH chars AS (SELECT CAST(unnest(range(97, 123)) AS INTEGER) AS cp),
+        |per AS (
+        |  SELECT c.cp, d.doc_id,
+        |    length(d.text) - length(replace(d.text, chr(c.cp), '')) AS tf
+        |  FROM documents d CROSS JOIN chars c)
+        |SELECT CAST(cp AS INTEGER) AS token,
+        |  CAST(count(CASE WHEN tf > 0 THEN 1 END) AS BIGINT) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS tf_total,
+        |  CAST(min(CASE WHEN tf > 0 THEN doc_id END) AS BIGINT) AS first_doc,
+        |  CAST(max(CASE WHEN tf > 0 THEN doc_id END) AS BIGINT) AS last_doc
+        |FROM per GROUP BY cp HAVING sum(tf) > 0 ORDER BY token""".stripMargin,
+
+    "q71_conjunctive_search" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_tok
+        |FROM documents
+        |WHERE contains(text, 'q') AND contains(text, 'j') AND contains(text, 'k')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q72_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+        |v2base AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 5 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, text FROM documents WHERE doc_id % 7 = 4),
+        |v2 AS (SELECT doc_id, source, md5(text) AS fp FROM v2base)
+        |SELECT coalesce(v1.source, v2.source) AS source,
+        |  CASE WHEN v1.fp IS NULL THEN 'added'
+        |       WHEN v2.fp IS NULL THEN 'removed'
+        |       WHEN v1.fp <> v2.fp THEN 'changed'
+        |       ELSE 'same' END AS status,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q66_exact_quantiles" ->
       """WITH h AS (

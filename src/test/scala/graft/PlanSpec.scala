@@ -387,6 +387,47 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q70 inverted index: one partial-agg shuffle keyed on token, no join") {
+    val df = SparkEntry.queries("q70_inverted_index")(spark, sf)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("Join"), s"index build must be join-free:\n${p.take(1200)}")
+    // partial aggregation must combine map-side: a HashAggregate below
+    // the token exchange, another above it
+    assert(p.contains("HashAggregate"), "expected hash aggregation")
+    assert(p.contains("hashpartitioning(token"),
+      s"the single data shuffle must key on token:\n${p.take(1200)}")
+  }
+
+  test("q71 conjunctive search: chunk-grain stats rungs precede any decode") {
+    val df = SparkEntry.queries("q71_conjunctive_search")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    // scope to the search itself: everything below InMemoryTableScan is
+    // the cached chunk-build pipeline (salting joins live there by design)
+    val search = p.substring(0, math.max(0, p.indexOf("InMemoryRelation")))
+    assert(search.nonEmpty, s"expected the cached chunk relation:\n${p.take(1200)}")
+    assert(!search.contains("Join"), s"conjunctive search must be join-free:\n${search.take(1200)}")
+    // all three probes' min/max rungs sit in one Filter over the chunk
+    // metadata, upstream of the deserialize/flatMap that decodes
+    assert(search.contains("min_token") && search.contains("max_token"),
+      s"expected the min/max stats rung in the plan:\n${search.take(1200)}")
+  }
+
+  test("q72 snapshot diff: co-partitioned full-outer join on doc_id, fingerprints not payloads") {
+    val df = SparkEntry.queries("q72_snapshot_diff")(spark, sf)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("FullOuter"), s"expected a full-outer diff join:\n${p.take(1200)}")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),
+      "diff join must stay an equi join")
+    // both sides reduce to (doc_id, source, fp) before the join: the md5
+    // projection must sit below the doc_id exchange, so no 'text'
+    // attribute appears at or above the join
+    val joinIdx = p.indexOf("FullOuter")
+    assert(!p.substring(0, joinIdx).contains("text#"),
+      s"payload column crossed the shuffle into the diff join:\n${p.take(1500)}")
+  }
+
   test("q66 exact quantiles: window runs over the value histogram, not raw rows") {
     val df = SparkEntry.queries("q66_exact_quantiles")(spark, sf)
     val p = df.queryExecution.executedPlan.toString()
