@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
+import graft.engine.Decoder
 
 /** Physical-plan assertions: the optimizations the engine relies on at
   * 100 TB must actually appear in the plans — filter pushdown reaching
@@ -411,6 +413,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // metadata, upstream of the deserialize/flatMap that decodes
     assert(search.contains("min_token") && search.contains("max_token"),
       s"expected the min/max stats rung in the plan:\n${search.take(1200)}")
+  }
+
+  test("conjunctive ladder short-circuits: an absent probe prunes every chunk pre-decode") {
+    // 'z' (122) never occurs at sf0.001 — every chunk must die on the
+    // stats/dict rungs, so the AND-search decodes nothing and returns
+    // empty even though the other probes match most docs
+    val probes = Array('q'.toInt, 'z'.toInt)
+    val chunks = SparkEntry.chunksFor(spark, sf, tokensPerChunk = 16384)
+      .filter(col("min_token") <= 122 && col("max_token") >= 122)
+      .collect()
+    val survivors = chunks.filter(c => probes.forall(p => Decoder.chunkMayContainToken(c, p)))
+    assert(survivors.isEmpty,
+      s"${survivors.length} chunks passed the dict rung for an absent token")
   }
 
   test("q72 snapshot diff: co-partitioned full-outer join on doc_id, fingerprints not payloads") {
