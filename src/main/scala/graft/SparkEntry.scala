@@ -1666,6 +1666,159 @@ object SparkEntry {
         .orderBy(col("source"), col("status"))
     }),
 
+    // tokenizer migration — remap every token id through a frequency-
+    // ranked replacement vocabulary (the "re-index the vocab by corpus
+    // frequency" step of a tokenizer swap). The dictionary is built
+    // with ONE partial-agg shuffle whose output is |V| rows (vocab
+    // size, bounded by the tokenizer — ~50k in production, not corpus-
+    // scaled), sorted on the driver and BROADCAST; the remap itself is
+    // a map-only typed kernel over the broadcast map. The naive shape —
+    // explode tokens + shuffle-join against the vocab table — would
+    // move one row per token occurrence (10^15 at the north rule's
+    // scale); this moves |V| rows once and nothing else. PlanSpec pins
+    // the join-free plan.
+    "q73_vocab_remap" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val vocabCounts = tokenTable(s, dir)
+        .flatMap { r =>
+          val m = scala.collection.mutable.LongMap.empty[Long]
+          r.tokens.foreach { tk => val k = tk.toLong; m(k) = m.getOrElse(k, 0L) + 1L }
+          m.iterator.map { case (tk, c) => (tk.toInt, c) }
+        }
+        .toDF("token", "c")
+        .groupBy(col("token")).agg(sum(col("c")).as("c"))
+        .collect() // |V| rows — tokenizer-bounded, never corpus-scaled
+      val remap: Map[Int, Int] = vocabCounts
+        .map(r => (r.getInt(0), r.getLong(1)))
+        .sortBy { case (tk, c) => (-c, tk) } // dense ids: frequent = small
+        .iterator.zipWithIndex.map { case ((tk, _), i) => tk -> i }.toMap
+      val bc = s.sparkContext.broadcast(remap)
+      tokenTable(s, dir)
+        .flatMap { r =>
+          if (r.n_tok == 0) Iterator.empty // empty docs carry no vocab
+          else {
+            val m = bc.value
+            var sumIds = 0L
+            var maxId = -1L
+            r.tokens.foreach { tk =>
+              val v = m(tk); sumIds += v; if (v > maxId) maxId = v
+            }
+            Iterator.single((r.source, sumIds, maxId))
+          }
+        }
+        .toDF("source", "sum_ids", "max_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("sum_ids")).as("remapped_sum"),
+          max(col("max_id")).as("max_new_id"))
+        .orderBy(col("source"))
+    }),
+
+    // context-length bucketing — the batching-efficiency question every
+    // training pipeline asks before padding sequences to fixed shapes:
+    // docs binned to the next power-of-two context length, per bucket
+    // the doc/token counts and the exact padding waste of pad-to-bucket.
+    // Map-only + one tiny aggregate (≤ 12 bucket rows); the integer
+    // next-pow2 is shared with the oracle as a min-over-VALUES ladder.
+    // Sibling of q46/q47's packing: bucketing wastes pad tokens but
+    // keeps examples document-aligned; this query prices that trade.
+    "q74_length_buckets" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      tokenTable(s, dir)
+        .map { r =>
+          val n = math.max(1, r.n_tok)
+          // next power of two >= n, floored at 16 (tokenizer bounds the
+          // top: docs cap at 32k tokens, see Fixtures' length model)
+          val b = math.max(16, Integer.highestOneBit(n - 1) << 1)
+          (b.toLong, r.n_tok.toLong, b.toLong - r.n_tok.toLong)
+        }
+        .toDF("bucket", "n_tok", "waste")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("token_sum"),
+          sum(col("waste")).as("pad_waste"))
+        .orderBy(col("bucket"))
+    }),
+
+    // stratified (per-source) deterministic sample — exact k smallest
+    // md5(doc_id) per source, the split-stable "give me 5 audit docs
+    // per source" op. The scale shape is the two-phase bounded top-k:
+    // a typed mapPartitions keeps AT MOST k candidates per source per
+    // partition (O(sources·k) state), so the one shuffle carries
+    // ≤ partitions·sources·k candidate rows — never the corpus — and
+    // the final window runs over that tiny survivor set. A plain
+    // row_number window over the raw table (the naive form, and the
+    // oracle's) shuffles every row to its source's partition, which at
+    // a 70%-skewed 10^12-doc corpus puts 7·10^11 rows on one executor.
+    "q75_stratified_sample" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val k = 5
+      val cand = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          md5(encode(col("doc_id").cast("string"), "UTF-8")).as("h"))
+        .as[(String, Long, String)]
+        .mapPartitions { it =>
+          // per-source max-heap of size k: largest-so-far on top, so
+          // each new candidate evicts the worst of the kept k
+          val ord = Ordering.Tuple2[String, Long]
+          val best = scala.collection.mutable.HashMap
+            .empty[String, scala.collection.mutable.PriorityQueue[(String, Long)]]
+          it.foreach { case (src, id, h) =>
+            val pq = best.getOrElseUpdate(src,
+              scala.collection.mutable.PriorityQueue.empty[(String, Long)](ord))
+            if (pq.size < k) pq.enqueue((h, id))
+            else if (ord.lt((h, id), pq.head)) { pq.dequeue(); pq.enqueue((h, id)) }
+          }
+          best.iterator.flatMap { case (src, pq) =>
+            pq.iterator.map { case (h, id) => (src, id, h) }
+          }
+        }
+        .toDF("source", "doc_id", "h")
+      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      cand.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("source"), col("doc_id"), col("rk"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
+    // BPE pair statistics — the first step of byte-pair-encoding
+    // tokenizer training: global counts of adjacent token pairs, top-k
+    // merge candidates. Same shuffle discipline as q70's inverted
+    // index: the typed kernel pre-counts pairs INSIDE each row (packed
+    // (a << 21 | b) — codepoints fit 21 bits), so the shuffle carries
+    // one record per (doc, distinct pair) with map-side combine, never
+    // one per token position; top-k resolves as TakeOrderedAndProject
+    // (partial per-partition heaps, no global sort). At 10^15 tokens
+    // the per-position explode would BE the corpus; this is bounded by
+    // per-doc pair vocabulary.
+    "q76_bpe_pair_counts" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      tokenTable(s, dir)
+        .flatMap { r =>
+          val m = scala.collection.mutable.LongMap.empty[Long]
+          val ts = r.tokens
+          var i = 0
+          while (i + 1 < ts.length) {
+            val key = (ts(i).toLong << 21) | ts(i + 1).toLong
+            m(key) = m.getOrElse(key, 0L) + 1L
+            i += 1
+          }
+          m.iterator
+        }
+        .toDF("pair", "c")
+        .groupBy(col("pair")).agg(sum(col("c")).as("n"))
+        .select(shiftright(col("pair"), 21).cast("int").as("a"),
+          col("pair").bitwiseAND(lit(2097151L)).cast("int").as("b"),
+          col("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
     // ---- rows-only entries (not ANSI-SQL-expressible identically) ----
 
     // ANN: brute-force cosine top-5 for 3 probe vectors (float math —
@@ -1922,7 +2075,8 @@ object SparkEntry {
 
     "q65_dedup_apply" ->
       s"""WITH RECURSIVE $neardupClusterCte
-         |SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars_sum
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
          |FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM cluster WHERE doc_id <> cluster_id)
          |GROUP BY source ORDER BY source""".stripMargin,
@@ -2013,6 +2167,62 @@ object SparkEntry {
         |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // same frequency-dense ranking as the Spark side: count DESC then
+    // token ASC, rank-1 = dense new id; n_docs counts docs with >= 1
+    // token (the join drops empty docs, mirroring the flatMap guard)
+    "q73_vocab_remap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, unicode(ch) AS tok
+        |  FROM documents, unnest(string_split(text, '')) AS u(ch)
+        |  WHERE length(text) > 0),
+        |vocab AS (
+        |  SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) - 1 AS new_id
+        |  FROM toks GROUP BY tok)
+        |SELECT t.source,
+        |  CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+        |  CAST(sum(v.new_id) AS BIGINT) AS remapped_sum,
+        |  CAST(max(v.new_id) AS BIGINT) AS max_new_id
+        |FROM toks t JOIN vocab v USING (tok)
+        |GROUP BY t.source ORDER BY t.source""".stripMargin,
+
+    // integer next-pow2 as a min-over-VALUES ladder (exact — no float
+    // log2 edge at the power-of-two boundaries); length(text) counts
+    // codepoints in DuckDB, same as the Spark side's n_tok
+    "q74_length_buckets" ->
+      """SELECT b.bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS token_sum,
+        |  CAST(sum(b.bucket - length(text)) AS BIGINT) AS pad_waste
+        |FROM documents,
+        |  LATERAL (SELECT CAST(min(v.b) AS BIGINT) AS bucket
+        |           FROM (VALUES (16),(32),(64),(128),(256),(512),(1024),
+        |                        (2048),(4096),(8192),(16384),(32768)) AS v(b)
+        |           WHERE v.b >= greatest(length(text), 1)) b
+        |GROUP BY b.bucket ORDER BY b.bucket""".stripMargin,
+
+    // the oracle takes the naive single-window form — same answer the
+    // Spark side's bounded two-phase top-k must reproduce exactly
+    "q75_stratified_sample" ->
+      """SELECT source, doc_id, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+
+    // adjacent-codepoint pairs via zipped parallel unnest (DuckDB's
+    // generate_series cannot lateral-reference a column); the ORDER BY
+    // is total (n DESC, a, b), so the LIMIT boundary is tie-proof
+    "q76_bpe_pair_counts" ->
+      """WITH cs AS (SELECT string_split(text, '') AS c FROM documents
+        |            WHERE length(text) >= 2),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, len(c)), i -> unicode(c[i]))) AS a,
+        |         unnest(list_transform(range(1, len(c)), i -> unicode(c[i+1]))) AS b
+        |  FROM cs)
+        |SELECT CAST(a AS INTEGER) AS a, CAST(b AS INTEGER) AS b,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM pairs GROUP BY a, b ORDER BY n DESC, a, b LIMIT 20""".stripMargin,
+
     "q66_exact_quantiles" ->
       """WITH h AS (
         |  SELECT source, n_chars, count(*) AS c
@@ -2022,7 +2232,7 @@ object SparkEntry {
         |    sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
         |    sum(c) OVER (PARTITION BY source) AS cnt
         |  FROM h)
-        |SELECT source, max(cnt) AS n_docs,
+        |SELECT source, CAST(max(cnt) AS BIGINT) AS n_docs,
         |  min(CASE WHEN cum >= (cnt + 1) // 2 THEN n_chars END) AS p50,
         |  min(CASE WHEN cum >= (cnt * 9 + 9) // 10 THEN n_chars END) AS p90,
         |  min(CASE WHEN cum >= (cnt * 99 + 99) // 100 THEN n_chars END) AS p99

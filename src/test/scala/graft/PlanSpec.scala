@@ -456,4 +456,52 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_count") || p.contains("partial"),
       "histogram groupBy lost its map-side partial aggregation")
   }
+
+  test("q73 vocab remap: broadcast-map remap, no join anywhere in the plan") {
+    val df = SparkEntry.queries("q73_vocab_remap")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    // the vocabulary travels as a driver broadcast into the typed remap
+    // kernel — the naive explode+join would put one row per token
+    // occurrence (10^15 at scale) through a shuffle join
+    assert(!p.contains("Join"), s"remap must be join-free:\n${p.take(1200)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-source aggregate lost its map-side partial")
+  }
+
+  test("q74 length buckets: map-only kernel, single partial-agg shuffle") {
+    val p = plan("q74_length_buckets")
+    assert(!p.contains("Join"), s"bucketing must not join:\n${p.take(800)}")
+    assert("hashpartitioning".r.findAllIn(p).size <= 1, "extra hash shuffle")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no map-side partial agg")
+  }
+
+  test("q75 stratified sample: window input is the bounded candidate set, not the corpus") {
+    val df = SparkEntry.queries("q75_stratified_sample")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    // the per-source window must consume the mapPartitions survivor set
+    // (<= partitions*sources*k rows): the typed kernel (Deserialize/
+    // MapPartitions) sits BELOW the window's sort+exchange, and the
+    // corpus itself is never shuffled by source
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, s"expected a window over the candidates:\n${p.take(800)}")
+    val below = p.substring(winIdx)
+    assert(below.contains("MapPartitions") || below.contains("SerializeFromObject"),
+      s"window does not sit above the bounded top-k kernel:\n${p.take(1500)}")
+    // only the two id columns reach the scan — text never leaves parquet
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("text"), s"sample scan reads text: $read")
+  }
+
+  test("q76 BPE pairs: per-doc pre-count, partial agg, top-k not global sort") {
+    val df = SparkEntry.queries("q76_bpe_pair_counts")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("Join"), s"pair counting must be join-free:\n${p.take(800)}")
+    // the shuffle carries (pair, per-doc count) with map-side combine —
+    // partial + final HashAggregate around one pair-keyed exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no map-side partial agg")
+    assert(p.contains("hashpartitioning(pair"),
+      s"the single data shuffle must key on the packed pair:\n${p.take(1200)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k is not TakeOrderedAndProject:\n${p.take(1200)}")
+  }
 }
