@@ -1819,6 +1819,70 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // concat-and-chunk packing — the GPT-pretraining example builder
+    // (docs concatenated with an EOD separator, the stream cut into
+    // fixed-C-token examples that CROSS document boundaries), the
+    // other canonical packing flavor next to q46/q47's document-
+    // aligned bin packing. Docs shard deterministically by
+    // md5(doc_id) and order by (md5, doc_id) within the shard, so the
+    // example stream is reproducible under any partitioning; ONE
+    // shuffle (repartition by shard + sortWithinPartitions) then a
+    // streaming O(1)-state kernel cuts examples — no shard's token
+    // stream is ever materialized. At 10^12 sequences shard count
+    // scales with the corpus (here 8 for the demo): each shard is one
+    // contiguous run inside a partition, and remainders (< C tokens)
+    // are dropped per shard, matching the training-time behavior.
+    // Per example: token-value checksum and how many docs contributed
+    // (the packing-fragmentation metric).
+    "q77_concat_chunk_pack" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val C = 512
+      val EOD = 0x110000L // one above the Unicode max: never a real token
+      val nShards = 8
+      val key32 = conv(substring(md5(col("doc_id")), 1, 8), 16, 10).cast("long")
+      tokenTable(s, dir).toDF()
+        .select(col("doc_id"), col("tokens"),
+          md5(col("doc_id")).as("h"), (key32 % nShards).as("shard"))
+        .repartition(col("shard"))
+        .sortWithinPartitions(col("shard"), col("h"), col("doc_id"))
+        .select(col("shard"), col("tokens"))
+        .as[(Long, Array[Int])]
+        .mapPartitions { it =>
+          // shards arrive contiguously (partition sorted by shard);
+          // stream positions through the current example accumulator
+          var curShard = Long.MinValue
+          var exIdx = 0L
+          var fill = 0
+          var sum = 0L
+          var nDocs = 0L
+          var docCounted = false
+          it.flatMap { case (shard, tokens) =>
+            if (shard != curShard) { // remainder of the previous shard drops
+              curShard = shard; exIdx = 0L; fill = 0; sum = 0L; nDocs = 0L
+            }
+            docCounted = false
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+            var i = 0
+            while (i <= tokens.length) { // final iteration appends EOD
+              val tk = if (i < tokens.length) tokens(i).toLong else EOD
+              if (!docCounted) { nDocs += 1; docCounted = true }
+              sum += tk
+              fill += 1
+              if (fill == C) {
+                out += ((shard, exIdx, sum, nDocs))
+                exIdx += 1; fill = 0; sum = 0L; nDocs = 0L
+                docCounted = false // this doc counts again if it spills over
+              }
+              i += 1
+            }
+            out.iterator
+          }
+        }
+        .toDF("shard", "ex_idx", "tok_sum", "n_docs")
+        .orderBy(col("shard"), col("ex_idx"))
+    }),
+
     // ---- rows-only entries (not ANSI-SQL-expressible identically) ----
 
     // ANN: brute-force cosine top-5 for 3 probe vectors (float math —
@@ -2222,6 +2286,41 @@ object SparkEntry {
         |SELECT CAST(a AS INTEGER) AS a, CAST(b AS INTEGER) AS b,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM pairs GROUP BY a, b ORDER BY n DESC, a, b LIMIT 20""".stripMargin,
+
+    // the same deterministic (shard, md5-order) stream rebuilt
+    // positionally: window cumsum gives each doc's start offset, a
+    // zipped parallel unnest lays tokens+EOD (0x110000) at global
+    // positions, examples group by gpos // 512; HAVING count(*)=512
+    // drops per-shard remainders exactly as the kernel does. The
+    // ORDER BY tie-break is (md5, doc_id-as-VARCHAR) on BOTH sides —
+    // 8-hex shard keys collide at birthday rates over 10^4+ docs, so
+    // the tie-break must agree across engines.
+    "q77_concat_chunk_pack" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS did, string_split(text, '') AS cs,
+        |    length(text) AS len,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    list_reduce(list_transform(range(1, 9),
+        |      i -> CAST(instr('0123456789abcdef',
+        |        substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+        |      (a, x) -> a * 16 + x) % 8 AS shard
+        |  FROM documents),
+        |o AS (
+        |  SELECT *, sum(len + 1) OVER (PARTITION BY shard ORDER BY h, did
+        |    ROWS UNBOUNDED PRECEDING) - (len + 1) AS strt
+        |  FROM d),
+        |toks AS (
+        |  SELECT shard, did,
+        |    strt + unnest(range(0, len + 1)) AS gpos,
+        |    unnest(list_append(list_transform(range(1, len + 1),
+        |      i -> CAST(unicode(cs[i]) AS BIGINT)), 1114112)) AS tok
+        |  FROM o)
+        |SELECT shard, CAST(gpos // 512 AS BIGINT) AS ex_idx,
+        |  CAST(sum(tok) AS BIGINT) AS tok_sum,
+        |  CAST(count(DISTINCT did) AS BIGINT) AS n_docs
+        |FROM toks
+        |GROUP BY shard, ex_idx HAVING count(*) = 512
+        |ORDER BY shard, ex_idx""".stripMargin,
 
     "q66_exact_quantiles" ->
       """WITH h AS (

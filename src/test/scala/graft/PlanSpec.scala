@@ -504,4 +504,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-k is not TakeOrderedAndProject:\n${p.take(1200)}")
   }
+
+  test("q77 concat-chunk: one shard shuffle, no join, payload crosses once") {
+    val df = SparkEntry.queries("q77_concat_chunk_pack")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("Join"), s"packing must be join-free:\n${p.take(800)}")
+    // exactly one data shuffle — the repartition(shard); the only other
+    // exchange is the presentation orderBy's range partitioning
+    assert(p.contains("hashpartitioning(shard"),
+      s"the data shuffle must key on shard:\n${p.take(1200)}")
+    assert("hashpartitioning".r.findAllIn(p).size == 1, "extra hash shuffle")
+    // the cut kernel consumes the shard-sorted stream directly: a Sort
+    // on (shard, h, doc_id) sits between the exchange and the kernel
+    assert(p.contains("Sort [shard"), s"missing within-partition shard sort:\n${p.take(1500)}")
+  }
 }
