@@ -22,10 +22,16 @@ package graft
   */
 object BenchEmit {
 
-  /** Hard cap for the final stdout line. 1500 + sbt's ~80-char trailer
-    * leaves >400 chars of slack inside the driver's 2,000-char tail.
+  /** Hard cap for the final stdout line. 1750 + sbt's ~80-char trailer
+    * leaves 170 chars of slack inside the driver's 2,000-char tail
+    * (observed trailers: the one "[success] Total time: ..." line,
+    * ~75 chars — round-4 captures confirm nothing else follows the
+    * emit). Raised from 1500 when the query map hit 77 entries: at
+    * ~12 chars/entry the 2-decimal map alone is ~930 chars, and the
+    * old cap would have pushed the ladder onto the rung that drops
+    * per-query timings from the official channel.
     */
-  final val MaxLen = 1500
+  final val MaxLen = 1750
 
   /** Locale-pinned numeric formatting. The f-interpolator formats with
     * the JVM default locale; a comma-decimal locale (de, fr, ...) would
@@ -108,7 +114,8 @@ object BenchEmit {
   ): String = {
     val total = results.map(_._2).filter(_ >= 0).sum
     val keyOf = shortKeys(results.map(_._1))
-    val qs = qmap(results.map { case (k, v) => keyOf(k) -> num(v, 2) })
+    def qs(decimals: Int) =
+      qmap(results.map { case (k, v) => keyOf(k) -> num(v, decimals) })
     val encSeq = {
       val m = encFields.toMap
       EncodeHeadlineKeys.flatMap(k => m.get(k).map(k -> _))
@@ -122,9 +129,13 @@ object BenchEmit {
     val errShort = qmap(errors.take(3).map { case (k, v) =>
       keyOf.getOrElse(k, k) -> jstr(v.take(40))
     } ++ (if (errors.size > 3) Seq("_more" -> errors.size.toString) else Nil))
+    // precision degrades before coverage: the per-query map survives at
+    // 1 decimal (the full 3-decimal timings are in the sidecar) before
+    // the last-resort rung that drops it entirely
     val ladder = Seq(
-      head(s""""queries":$qs,"errors":$errShort,"""),
-      head(s""""queries":$qs,"error_count":${errors.size},"""),
+      head(s""""queries":${qs(2)},"errors":$errShort,"""),
+      head(s""""queries":${qs(2)},"error_count":${errors.size},"""),
+      head(s""""queries":${qs(1)},"error_count":${errors.size},"""),
       head(s""""query_count":${results.size},"error_count":${errors.size},"""))
     ladder.find(_.length < MaxLen).getOrElse(
       // unreachable unless encode fields themselves explode; keep the

@@ -75,6 +75,21 @@ class BenchEmitSpec extends AnyFunSuite {
     assert((j \ "encode" \ "efficiency_estimator") == JString("paired"))
   }
 
+  test("round-4-width query map (78 entries) keeps per-query secs in the headline") {
+    // the round-4 registry: 77 queries with realistic name lengths —
+    // the headline must keep the per-query map (possibly at reduced
+    // precision), never fall to the count-only rung
+    val wide = results ++ (53 to 79).map(i => f"q$i%02d_some_operator_name" -> (0.3 + i * 0.11))
+    val line = BenchEmit.compactLine(wide, Nil, sfDir, degraded = false,
+      wallSecs = 1500.0, fatal = None, encFields)
+    assert(line.length < BenchEmit.MaxLen, s"${line.length} chars:\n$line")
+    assert(line.length + 100 < 2000)
+    val j = JsonMethods.parse(line)
+    val JObject(qs) = (j \ "queries"): @unchecked
+    assert(qs.size == wide.size, s"per-query map dropped from the headline:\n$line")
+    assert((j \ "encode" \ "scaling_efficiency") == JDouble(0.831))
+  }
+
   test("compact headline survives a pathological error burst") {
     val errors = queryNames.take(30).map(n =>
       n -> ("org.apache.spark.SparkException: Job aborted due to stage failure: " * 5))
