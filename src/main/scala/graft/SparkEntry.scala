@@ -2407,7 +2407,7 @@ object SparkEntry {
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q13_window_rank" ->
-      """SELECT * FROM (
+      """SELECT event_type, day, n, CAST(rk AS INTEGER) AS rk FROM (
         |  SELECT event_type, day, n,
         |    row_number() OVER (PARTITION BY event_type ORDER BY n DESC, day) AS rk
         |  FROM (
