@@ -1883,6 +1883,115 @@ object SparkEntry {
         .orderBy(col("shard"), col("ex_idx"))
     }),
 
+    // corpus n-gram diversity — the dedup-health dial read while mixing
+    // sources: per source, total 5-gram positions vs distinct 5-grams
+    // (type/token ratio at shingle grain) and the duplicated-position
+    // share in permille. Two independent aggregates joined on the tiny
+    // per-source result: the positions side is metadata-only (a word
+    // count per doc, no shingle ever materialized), and the distinct
+    // side ships 8-byte fingerprints with map-side partial aggregation
+    // — never shingle strings. At 10^12+ tokens the exact countDistinct
+    // becomes the one big shuffle; the production dial swaps it for
+    // approx_count_distinct (HLL, mergeable, no second pass) — exact
+    // here so the oracle can gate it (and collision-check the fp).
+    "q78_ngram_diversity" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)]
+      val posBySrc = docs
+        .map { case (_, src, text) =>
+          (src, math.max(0, graft.text.Analyzer.words(text).length - 4).toLong)
+        }
+        .toDF("source", "pos")
+        .groupBy(col("source")).agg(sum(col("pos")).as("n_positions"))
+      val distBySrc = docs
+        .flatMap { case (_, src, text) =>
+          graft.text.Analyzer.wordShingleHash64(text, k = 5).iterator.map(fp => (src, fp))
+        }
+        .toDF("source", "fp")
+        .groupBy(col("source")).agg(countDistinct(col("fp")).as("n_distinct"))
+      posBySrc.join(distBySrc, Seq("source"))
+        .withColumn("dup_permille",
+          expr("((n_positions - n_distinct) * 1000) div n_positions"))
+        .select(col("source"), col("n_positions"), col("n_distinct"), col("dup_permille"))
+        .orderBy(col("source"))
+    }),
+
+    // unigram-LM commonness scoring — the cheap LM-quality proxy run
+    // before any model-scored filter: corpus unigram counts (vocab is
+    // tokenizer-bounded — same collect+broadcast two-phase as q73),
+    // every doc scored map-only by mean token commonness, top-20 most
+    // stereotyped docs via TakeOrderedAndProject (per-partition heaps,
+    // no global sort). Integer math end to end: sum-of-counts is
+    // <= n_tok_max * corpus_tokens (< 2^50 on the 2B bench corpus), so
+    // the permille scaling stays in Long; ties at the boundary break on
+    // doc_id, making the LIMIT cross-engine total.
+    "q79_unigram_lm_score" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val counts: Map[Int, Long] = tokenTable(s, dir)
+        .flatMap { r =>
+          val m = scala.collection.mutable.LongMap.empty[Long]
+          r.tokens.foreach { tk => val k = tk.toLong; m(k) = m.getOrElse(k, 0L) + 1L }
+          m.iterator.map { case (tk, c) => (tk.toInt, c) }
+        }
+        .toDF("token", "c")
+        .groupBy(col("token")).agg(sum(col("c")).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // |V| rows
+      val bc = s.sparkContext.broadcast(counts)
+      tokenTable(s, dir)
+        .flatMap { r =>
+          if (r.n_tok == 0) Iterator.empty // no tokens, no score
+          else {
+            val m = bc.value
+            var sumC = 0L
+            r.tokens.foreach { tk => sumC += m(tk) }
+            Iterator.single((r.doc_id.toLong, (sumC * 1000L) / r.n_tok))
+          }
+        }
+        .toDF("doc_id", "score_permille")
+        .orderBy(col("score_permille").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // duplicate-passage doc filter — the APPLY side of q67's detector:
+    // drop docs whose distinct-8-gram set is majority corpus-duplicated
+    // passages, report per-source kept/dropped docs and the surviving
+    // token mass a mix rebalance reads. Same 64-bit gram kernel and
+    // fp-clustered shuffles as q67 (per-doc gram sets are distinct by
+    // construction, so count-per-fp IS document frequency); docs too
+    // short to shingle have nothing to judge and are kept.
+    "q80_dup_passage_filter" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          graft.text.Analyzer.wordShingleHash64(text, k = 8).iterator.map(fp => (id, fp))
+        }
+        .toDF("doc_id", "fp")
+      val dup = grams.groupBy(col("fp"))
+        .agg(count(lit(1)).as("ndocs"))
+        .filter(col("ndocs") >= 2)
+        .select(col("fp"), lit(1L).as("isdup"))
+      val perDoc = grams.join(dup, Seq("fp"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("isdup"), lit(0L))).as("n_dup"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n_tok"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .withColumn("drop",
+          coalesce(col("n_dup") * 2 > col("n_grams"), lit(false)))
+        .groupBy(col("source"))
+        .agg(sum(when(col("drop"), 0L).otherwise(1L)).as("kept_docs"),
+          sum(when(col("drop"), 1L).otherwise(0L)).as("dropped_docs"),
+          sum(when(col("drop"), lit(0L)).otherwise(col("n_tok"))).as("kept_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // ---- rows-only entries (not ANSI-SQL-expressible identically) ----
 
     // ANN: brute-force cosine top-5 for 3 probe vectors (float math —
@@ -2321,6 +2430,57 @@ object SparkEntry {
         |FROM toks
         |GROUP BY shard, ex_idx HAVING count(*) = 512
         |ORDER BY shard, ex_idx""".stripMargin,
+
+    // 5-gram positions vs distinct raw-string 5-grams; the Spark side
+    // counts distinct 64-bit fingerprints, so a pass doubles as the
+    // collision check (the q67/q50 convention). Sources whose docs are
+    // all shorter than 5 words have no gram rows on either side.
+    "q78_ngram_diversity" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT source, unnest(list_transform(range(1, len(w) - 3), i ->
+        |  w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS s5
+        |  FROM w)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_positions,
+        |  CAST(count(DISTINCT s5) AS BIGINT) AS n_distinct,
+        |  CAST(((count(*) - count(DISTINCT s5)) * 1000) // count(*) AS BIGINT)
+        |    AS dup_permille
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    // mean token commonness in permille, integer floor division both
+    // sides; the LIMIT boundary is tie-broken by doc_id so the top-20
+    // is a total order across engines
+    "q79_unigram_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unicode(ch) AS tok
+        |  FROM documents, unnest(string_split(text, '')) AS u(ch)
+        |  WHERE length(text) > 0),
+        |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+        |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+        |  CAST((sum(v.c) * 1000) // count(*) AS BIGINT) AS score_permille
+        |FROM toks t JOIN vocab v USING (tok)
+        |GROUP BY t.doc_id
+        |ORDER BY score_permille DESC, doc_id LIMIT 20""".stripMargin,
+
+    // majority-duplicated docs dropped: strict n_dup*2 > n_grams on
+    // both sides; docs with no 8-grams (fewer than 8 words) have NULL
+    // tallies and are kept via the same coalesce(false)
+    "q80_dup_passage_filter" ->
+      s"""WITH $gram8Cte,
+         |g AS (SELECT DISTINCT doc_id, g8 FROM g0),
+         |dup AS (SELECT g8 FROM g GROUP BY g8 HAVING count(*) >= 2),
+         |pd AS (
+         |  SELECT g.doc_id, count(*) AS n_grams,
+         |    sum(CASE WHEN dup.g8 IS NULL THEN 0 ELSE 1 END) AS n_dup
+         |  FROM g LEFT JOIN dup USING (g8) GROUP BY g.doc_id)
+         |SELECT d.source,
+         |  CAST(sum(CASE WHEN coalesce(pd.n_dup * 2 > pd.n_grams, false)
+         |    THEN 0 ELSE 1 END) AS BIGINT) AS kept_docs,
+         |  CAST(sum(CASE WHEN coalesce(pd.n_dup * 2 > pd.n_grams, false)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS dropped_docs,
+         |  CAST(sum(CASE WHEN coalesce(pd.n_dup * 2 > pd.n_grams, false)
+         |    THEN 0 ELSE length(d.text) END) AS BIGINT) AS kept_tokens
+         |FROM documents d LEFT JOIN pd USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "q66_exact_quantiles" ->
       """WITH h AS (
