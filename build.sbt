@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Rounds 1-4 all lost the official bench result to delivery geometry:
+// the driver keeps the last 2,000 chars of `sbt "runMain graft.Bench"`
+// stdout and parses the JSON headline from it. By round 4 the headline
+// was complete and valid — but arrived as "[info] {...}" (sbt's logger
+// decorates forked-child stdout) with "[success] Total time: ..." as
+// the literal last line, so it never parsed. Two fixes:
+//   1. StdoutOutput — the forked child's stdout passes through RAW
+//      (inherited fd), no "[info] " prefix on the headline;
+//   2. showSuccess := false — no "[success]" trailer, so the compact
+//      headline is the last stdout line, exactly as the driver expects.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
