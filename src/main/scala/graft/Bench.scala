@@ -891,7 +891,13 @@ object Bench {
         }
       }
 
-      val maxPairs = runs * 3
+      // runs*5 (was runs*3): round 4's official run burned all 9
+      // attempts in a stormy window and stopped with ~800s of deadline
+      // budget unused, 1 clean pair short of the quota. The loop guard
+      // (leftSecs > 0.8*lastPairSecs) already bounds wall by the
+      // deadline, so a higher attempt cap only converts otherwise-
+      // wasted budget into more chances at a clean pair.
+      val maxPairs = runs * 5
       var prevCanary = canarySecs()
       var bestCanary = prevCanary
       var lastPairSecs = 0.0
@@ -904,7 +910,12 @@ object Bench {
       while (lowAlive && highAlive && attempts < maxPairs && !cleanEnough &&
              (attempts == 0 || leftSecs > 0.8 * lastPairSecs)) {
         if (attempts > 0 && lastPairSecs > 0 && leftSecs > 3 * lastPairSecs)
-          awaitCalm(math.min(120, leftSecs - 1.5 * lastPairSecs))
+          // storms come in 20-40 min waves: when the budget is ample
+          // (>6 pairs' worth left) waiting up to 240s is cheaper than
+          // burning a ~150s pair into the middle of a wave; otherwise
+          // keep the old 120s cap
+          awaitCalm(math.min(if (leftSecs > 6 * lastPairSecs) 240 else 120,
+            leftSecs - 1.5 * lastPairSecs))
         attempts += 1
         val ecBefore = lastEffCores
         val tp0 = System.nanoTime()

@@ -1894,6 +1894,17 @@ object SparkEntry {
     // becomes the one big shuffle; the production dial swaps it for
     // approx_count_distinct (HLL, mergeable, no second pass) — exact
     // here so the oracle can gate it (and collision-check the fp).
+    // Collision bound of the 64-bit fingerprint convention (q78 and
+    // q80 both equate distinct fps with distinct raw shingles): ~n²/2
+    // /2^64 expected colliding pairs — negligible at bench scale
+    // (~10^8 shingles → ~3·10^-4 expected), but at 10^9+ distinct
+    // shingles whole collisions appear (~0.03 at 10^9, ~27 at 3·10^10)
+    // and n_distinct undercounts by that many; a production run at
+    // 10^12 tokens should widen to 128-bit fps (e.g. two independent
+    // 64-bit halves) — the HLL swap above has its own (larger) error
+    // anyway. The sf-scale oracle verifies with raw strings, so any
+    // collision at graded scale fails the compare rather than passing
+    // silently.
     "q78_ngram_diversity" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
@@ -1980,15 +1991,61 @@ object SparkEntry {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
           sum(coalesce(col("isdup"), lit(0L))).as("n_dup"))
+      // kept mass is reported in CHARACTERS (length(text)) and named
+      // so — a mix-rebalance consumer needing token mass joins the
+      // tokens table's n_tok instead (round-4 verdict: the old
+      // "kept_tokens" name sold char mass as tokens)
       t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n_tok"))
+        .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("n_chars"))
         .join(perDoc, Seq("doc_id"), "left")
         .withColumn("drop",
           coalesce(col("n_dup") * 2 > col("n_grams"), lit(false)))
         .groupBy(col("source"))
         .agg(sum(when(col("drop"), 0L).otherwise(1L)).as("kept_docs"),
           sum(when(col("drop"), 1L).otherwise(0L)).as("dropped_docs"),
-          sum(when(col("drop"), lit(0L)).otherwise(col("n_tok"))).as("kept_tokens"))
+          sum(when(col("drop"), lit(0L)).otherwise(col("n_chars"))).as("kept_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // prefix point-family lookup over AT-REST chunks: the reference
+    // derives [minv,maxv] page bounds for prefix regexes
+    // (search/constraint.go:894-909); graft serves doc_id LIKE 'p%' as
+    // the range [p, prefixSuccessor(p)) — a pushed range probe on the
+    // doc-sorted index (parquet min/max prunes to the few row-groups
+    // covering the range, O(log) in corpus size; absent/stale index
+    // falls back to chunk min/max metadata), then each candidate chunk
+    // decodes its doc index once and slices only the matching docs'
+    // token ranges
+    "q81_prefix_lookup" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val tmp = chunksDirFor(s, dir, tokensPerChunk = 16384)
+      // same build-if-stale discipline as q53: the index is derived
+      // metadata, rebuilt when the chunk-set fingerprint moved
+      if (graft.engine.Pipeline.lookupChunkIdsViaIndex(s, tmp, Seq("0")).isEmpty)
+        graft.engine.Pipeline.buildDocIndex(s, tmp)
+      graft.engine.Pipeline.readTokensForDocIdPrefix(s, tmp, "4")
+        .map(r => (r.doc_id.toLong, r.source, r.n_tok.toLong, r.tokens.foldLeft(0L)(_ + _)))
+        .toDF("doc_id", "source", "n_tok", "token_sum")
+        .orderBy(col("doc_id"))
+    }),
+
+    // lineage reconciliation — the exact-oracle twin of q32's per-chunk
+    // lineage surface (chunk ids / codec choices are engine-specific,
+    // so q32 itself stays rows-only): the per-partition lineage records
+    // must reconcile EXACTLY with the source corpus — sum(n_rows) = doc
+    // count, sum(n_tokens) = corpus code points, sum(raw_bytes) = the
+    // documented 4*n_tok + |doc_id| + |source| + 4 per row — proving no
+    // split was lost or double-encoded (the resume-from-checkpoint
+    // invariant the lineage table exists to guarantee). One metadata
+    // agg over the (persisted) chunks — the payload never decodes.
+    "q82_lineage_reconcile" -> ((s, dir) => {
+      chunksFor(s, dir, tokensPerChunk = 16384)
+        .toDF()
+        .groupBy(col("part_source").as("source"))
+        .agg(sum(col("n_rows")).cast("long").as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"),
+          sum(col("raw_bytes")).cast("long").as("raw_bytes"))
         .orderBy(col("source"))
     }),
 
@@ -2360,7 +2417,12 @@ object SparkEntry {
 
     // integer next-pow2 as a min-over-VALUES ladder (exact — no float
     // log2 edge at the power-of-two boundaries); length(text) counts
-    // codepoints in DuckDB, same as the Spark side's n_tok
+    // codepoints in DuckDB, same as the Spark side's n_tok. The ladder
+    // extends one rung PAST the fixture's maxLen=32768 clamp: Spark's
+    // kernel computes an unbounded next-pow2, so if a future fixture
+    // ever exceeds the ladder the lateral min yields a NULL bucket
+    // group and the compare fails loudly instead of silently
+    // diverging from the Spark side
     "q74_length_buckets" ->
       """SELECT b.bucket,
         |  CAST(count(*) AS BIGINT) AS n_docs,
@@ -2369,7 +2431,8 @@ object SparkEntry {
         |FROM documents,
         |  LATERAL (SELECT CAST(min(v.b) AS BIGINT) AS bucket
         |           FROM (VALUES (16),(32),(64),(128),(256),(512),(1024),
-        |                        (2048),(4096),(8192),(16384),(32768)) AS v(b)
+        |                        (2048),(4096),(8192),(16384),(32768),
+        |                        (65536)) AS v(b)
         |           WHERE v.b >= greatest(length(text), 1)) b
         |GROUP BY b.bucket ORDER BY b.bucket""".stripMargin,
 
@@ -2478,9 +2541,30 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN coalesce(pd.n_dup * 2 > pd.n_grams, false)
          |    THEN 1 ELSE 0 END) AS BIGINT) AS dropped_docs,
          |  CAST(sum(CASE WHEN coalesce(pd.n_dup * 2 > pd.n_grams, false)
-         |    THEN 0 ELSE length(d.text) END) AS BIGINT) AS kept_tokens
+         |    THEN 0 ELSE length(d.text) END) AS BIGINT) AS kept_chars
          |FROM documents d LEFT JOIN pd USING (doc_id)
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // same token_sum convention as q53 (unicode code points of text,
+    // empty docs coalesce to 0); the prefix family is the stringified
+    // numeric doc_id
+    "q81_prefix_lookup" ->
+      """SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_tok,
+        |  CAST(coalesce((SELECT sum(unicode(ch))
+        |        FROM unnest(string_split(text, '')) AS u(ch)
+        |        WHERE ch <> ''), 0) AS BIGINT) AS token_sum
+        |FROM documents WHERE CAST(doc_id AS VARCHAR) LIKE '4%'
+        |ORDER BY doc_id""".stripMargin,
+
+    // ground truth recomputed from the corpus: lineage totals must
+    // match doc counts, code-point mass, and the documented raw-bytes
+    // accounting (4 B/token + doc_id/source strings + 4 B row header)
+    "q82_lineage_reconcile" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS n_tokens,
+        |  CAST(sum(4 * length(text) + length(CAST(doc_id AS VARCHAR))
+        |           + length(source) + 4) AS BIGINT) AS raw_bytes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q66_exact_quantiles" ->
       """WITH h AS (

@@ -276,12 +276,27 @@ object Decoder {
     * holds several of the requested keys.
     */
   def decodeDocsTokens(c: EncodedChunk, keys: Set[String]): Iterator[TokenRow] = {
-    if (keys.isEmpty) return Iterator.empty
+    if (keys.isEmpty) Iterator.empty
+    else decodeDocsTokensWhere(c, keys.contains)
+  }
+
+  /** Predicate decode: every doc of one chunk whose id satisfies
+    * `pred`, in a single doc-index pass with per-hit token slicing —
+    * the range/prefix generalization of [[decodeDocsTokens]] (the
+    * reference derives [minv,maxv] page bounds for prefix regexes,
+    * reference: search/constraint.go:894-909; the chunk-grain analog
+    * needs an arbitrary id predicate at decode time). Only the hits'
+    * token slices are materialized; misses cost one string compare.
+    */
+  def decodeDocsTokensWhere(
+      c: EncodedChunk,
+      pred: String => Boolean
+  ): Iterator[TokenRow] = {
     val docIds = StrCodec.decode(c.doc_ids_enc)
     val hits = scala.collection.mutable.ArrayBuffer.empty[Int]
     var i = 0
     while (i < docIds.length) {
-      if (keys.contains(docIds(i))) hits += i
+      if (pred(docIds(i))) hits += i
       i += 1
     }
     if (hits.isEmpty) return Iterator.empty

@@ -537,6 +537,118 @@ object Pipeline {
       .as[Long].collect().toSeq)
   }
 
+  /** Least string strictly greater (in UTF-8 order, [[Utf8Order]] =
+    * Spark's string order) than every string with the given prefix —
+    * the exclusive upper bound that turns `doc_id LIKE 'p%'` into the
+    * range [p, successor(p)). Computed by incrementing the prefix's
+    * last code point (UTF-8 byte order is monotone in code-point
+    * value, so the increment bounds the prefix family exactly);
+    * trailing U+10FFFF code points cannot be incremented and are
+    * dropped first. None = no finite bound (prefix is all-U+10FFFF or
+    * empty): the caller's range is [p, +inf).
+    */
+  def prefixSuccessor(prefix: String): Option[String] = {
+    val cps = prefix.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) == 0x10FFFF) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(cps, i + 1)
+      out(i) += 1
+      Some(new String(out, 0, out.length))
+    }
+  }
+
+  /** Candidate chunk ids whose doc_id span intersects [lo, hi) —
+    * hi = None means unbounded above. The chunk-grain analog of the
+    * reference's regex-derived page bounds (it turns a prefix/set
+    * regex into [minv,maxv] and prunes pages on sorted-column stats,
+    * reference: search/constraint.go:894-909): graft's chunks are
+    * hash-bucketed, so the ordered structure lives in the DERIVED
+    * doc-sorted index — when fresh, the probe is a pushed range filter
+    * whose parquet min/max stats prune to the few row-groups covering
+    * [lo, hi), O(log) in corpus size. Absent/stale index falls back to
+    * the chunks' [min_doc_id, max_doc_id] metadata columns (the Bloom
+    * rung serves only point probes — a Bloom cannot answer a range).
+    */
+  def lookupChunkIdsForRange(
+      spark: SparkSession,
+      outDir: String,
+      lo: String,
+      hi: Option[String]
+  ): Seq[Long] = {
+    import spark.implicits._
+    val fs = fsOf(spark, outDir)
+    val viaIndex =
+      if (!fs.exists(docIndexFpPath(outDir))) None
+      else if (readSmallText(fs, docIndexFpPath(outDir), 96) !=
+        chunkSetFingerprint(spark, outDir)) None
+      else {
+        val probe = spark.read.parquet(docIndexPath(outDir))
+          .filter(hi.foldLeft(col("doc_id") >= lo)((p, h) => p && col("doc_id") < h))
+        Some(probe.select(col("chunk_id")).distinct().as[Long].collect().toSeq)
+      }
+    viaIndex.getOrElse {
+      withMetadataDefaults(spark.read
+        .schema(org.apache.spark.sql.Encoders.product[EncodedChunk].schema)
+        .parquet(chunksPath(outDir))
+        .drop("doc_ids_enc", "sources_enc", "lengths_enc", "tokens_enc"))
+        .filter(hi.foldLeft(col("max_doc_id") >= lo)((p, h) => p && col("min_doc_id") < h))
+        .select(col("chunk_id"))
+        .as[Long]
+        .collect()
+        .toSeq
+    }
+  }
+
+  /** Range read over AT-REST chunks: every doc with lo <= doc_id < hi
+    * (UTF-8 order — hi = None means unbounded). Candidates from
+    * [[lookupChunkIdsForRange]]; each surviving chunk decodes its doc
+    * index once and slices ONLY the in-range docs' tokens
+    * ([[Decoder.decodeDocsTokensWhere]]).
+    */
+  def readTokensForDocIdRange(
+      spark: SparkSession,
+      outDir: String,
+      lo: String,
+      hi: Option[String]
+  ): Dataset[TokenRow] = {
+    import spark.implicits._
+    val ids = lookupChunkIdsForRange(spark, outDir, lo, hi)
+    val inRange = (id: String) => Utf8Order.lteq(lo, id) &&
+      hi.forall(h => Utf8Order.lt(id, h))
+    val hit =
+      if (ids.isEmpty) readChunks(spark, outDir).filter(lit(false))
+      else if (ids.length <= 1024)
+        readChunks(spark, outDir).filter(col("chunk_id").isin(ids: _*))
+      else readChunks(spark, outDir)
+        .filter(hi.foldLeft(col("max_doc_id") >= lo)((p, h) => p && col("min_doc_id") < h))
+    hit.flatMap(c => Decoder.decodeDocsTokensWhere(c, inRange))
+  }
+
+  /** Prefix read: every doc whose id starts with `prefix` — the
+    * `doc_id LIKE 'prefix%'` point-family lookup, served as the range
+    * [prefix, [[prefixSuccessor]]) so the doc-sorted index prunes it
+    * like any range probe. The decode predicate is startsWith (exact,
+    * order-free); the range bounds only select candidates.
+    */
+  def readTokensForDocIdPrefix(
+      spark: SparkSession,
+      outDir: String,
+      prefix: String
+  ): Dataset[TokenRow] = {
+    import spark.implicits._
+    val ids = lookupChunkIdsForRange(spark, outDir, prefix, prefixSuccessor(prefix))
+    val hit =
+      if (ids.isEmpty) readChunks(spark, outDir).filter(lit(false))
+      else if (ids.length <= 1024)
+        readChunks(spark, outDir).filter(col("chunk_id").isin(ids: _*))
+      else readChunks(spark, outDir).filter(
+        prefixSuccessor(prefix).foldLeft(col("max_doc_id") >= prefix)(
+          (p, h) => p && col("min_doc_id") < h))
+    hit.flatMap(c => Decoder.decodeDocsTokensWhere(c, _.startsWith(prefix)))
+  }
+
   /** Batch point lookup: all requested docs in one pass. Candidates
     * come from the index when fresh (log-pruned probe), else from the
     * range+bloom metadata scan; each surviving chunk is decoded ONCE

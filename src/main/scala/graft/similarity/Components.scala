@@ -31,9 +31,14 @@ import org.apache.spark.storage.StorageLevel
   * Convergence detection is a single scalar aggregate per round
   * (sum of labels, strictly decreasing until the fixpoint — labels
   * only ever decrease, so an unchanged sum means an unchanged table).
-  * `localCheckpoint` cuts the growing lineage each round; on a real
-  * cluster with lost-executor risk, swap for reliable `checkpoint`
-  * to HDFS — one line, noted here rather than silently defaulted.
+  * `localCheckpoint` cuts the growing lineage each round; it is LAZY
+  * (`eager = false`) so the convergence aggregate is the action that
+  * materializes it — one Spark job per round, not two (the eager
+  * variant cost a materialize job plus a sum job every round; at
+  * small scale the fixed per-job overhead, not the data, dominated
+  * this operator's runtime). On a real cluster with lost-executor
+  * risk, swap for reliable `checkpoint` to HDFS — one line, noted
+  * here rather than silently defaulted.
   */
 object Components {
 
@@ -55,13 +60,20 @@ object Components {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint()
-    if (labels.isEmpty) { edges.unpersist(); return labels }
+      .localCheckpoint(false)
 
-    def lblSum(df: DataFrame): Long =
-      df.agg(sum(col("lbl"))).head().getLong(0)
+    // one action per table: the sum both materializes the lazy
+    // checkpoint and reads out the convergence scalar; sum(empty) is
+    // SQL NULL, which doubles as the emptiness probe
+    def lblSum(df: DataFrame): Option[Long] = {
+      val r = df.agg(sum(col("lbl"))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
 
-    var prevSum = lblSum(labels)
+    var prevSum = lblSum(labels) match {
+      case None => edges.unpersist(); return labels
+      case Some(s) => s
+    }
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
@@ -75,8 +87,8 @@ object Components {
         .join(nbrMin.select(col("u").as("id"), col("nlbl")), Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      val s = lblSum(next)
+        .localCheckpoint(false)
+      val s = lblSum(next).get // non-empty: labels never lose rows
       converged = s == prevSum
       prevSum = s
       labels = next

@@ -510,6 +510,77 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mixed.length == 1 && mixed.head.doc_id == keys.head)
   }
 
+  test("prefix successor: exact exclusive bound in UTF-8 order") {
+    // basic increment
+    assert(Pipeline.prefixSuccessor("4").contains("5"))
+    assert(Pipeline.prefixSuccessor("doc_00000000043").contains("doc_00000000044"))
+    // the bound is tight: p <= s < succ(p) iff s startsWith p (spot
+    // facts at the boundary)
+    assert(Utf8Order.lt("499999", "5") && Utf8Order.lteq("4", "4"))
+    assert(Utf8Order.gteq("5", "4z"))
+    // trailing U+10FFFF cannot increment — drop it, bump the previous
+    val maxCp = new String(Character.toChars(0x10FFFF))
+    assert(Pipeline.prefixSuccessor("a" + maxCp).contains("b"))
+    // no finite bound exists for all-max or empty prefixes
+    assert(Pipeline.prefixSuccessor(maxCp * 3).isEmpty)
+    assert(Pipeline.prefixSuccessor("").isEmpty)
+    // supplementary-plane increment stays in code-point (= UTF-8) order
+    val s = Pipeline.prefixSuccessor(new String(Character.toChars(0x10000))).get
+    assert(Utf8Order.lt(new String(Character.toChars(0x10000)), s))
+  }
+
+  test("prefix/range lookup: index range probe is exact and pushed, stale index falls back") {
+    import spark.implicits._
+    val ds = Fixtures.tokenTable(spark, 1500, seed = 83, medianLen = 64, maxLen = 512, partitions = 4)
+    val out = tmpDir()
+    Pipeline.run(spark, ds, out, tokensPerChunk = 32 * 1024, waves = 1)
+    val prefix = "doc_00000000043" // doc_000000000430 .. _439
+    // no index yet: the metadata fallback must already answer correctly
+    val cold = Pipeline.readTokensForDocIdPrefix(spark, out, prefix).collect()
+    val want = ds.filter(_.doc_id.startsWith(prefix)).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(cold.map(_.doc_id).toSet == want.keySet)
+    Pipeline.buildDocIndex(spark, out)
+    // index candidates are exactly the chunks holding prefix docs
+    val hi = Pipeline.prefixSuccessor(prefix)
+    val got = Pipeline.lookupChunkIdsForRange(spark, out, prefix, hi)
+    val exact = Pipeline.readDocIndex(spark, out)
+      .filter(_.doc_id.startsWith(prefix)).map(_.chunk_id).distinct().collect().sorted
+    assert(got.sorted.sameElements(exact),
+      s"range candidates ${got.sorted} != exact ${exact.toSeq}")
+    // decoded rows are bit-identical to the source
+    val viaIndex = Pipeline.readTokensForDocIdPrefix(spark, out, prefix).collect()
+    assert(viaIndex.map(_.doc_id).toSet == want.keySet)
+    viaIndex.foreach(r => assert(r.tokens.sameElements(want(r.doc_id).tokens)))
+    // the range probe is PUSHED: both bounds reach the parquet scan of
+    // the doc-sorted index (min/max row-group pruning depends on it)
+    val probe = spark.read.parquet(Pipeline.docIndexPath(out))
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= prefix &&
+        org.apache.spark.sql.functions.col("doc_id") < hi.get)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(doc_id") && plan.contains("LessThan(doc_id"),
+      plan)
+    // half-open semantics: range [430, 435) excludes the upper bound
+    val part = Pipeline.readTokensForDocIdRange(
+      spark, out, "doc_000000000430", Some("doc_000000000435")).collect()
+    assert(part.map(_.doc_id).toSet ==
+      (430 until 435).map(i => f"doc_$i%012d").toSet)
+    // unbounded-above range from the last decade of ids
+    val tailRows = Pipeline.readTokensForDocIdRange(
+      spark, out, "doc_000000001490", None).collect()
+    assert(tailRows.map(_.doc_id).toSet ==
+      (1490 until 1500).map(i => f"doc_$i%012d").toSet)
+    // append (content change) → stale index → prefix lookup still
+    // answers through the chunk min/max metadata fallback
+    val extra = Fixtures.tokenTable(spark, 40, seed = 84, medianLen = 64, maxLen = 512, partitions = 1)
+      .map(r => r.copy(doc_id = "zz-" + r.doc_id))
+    Pipeline.run(spark, extra, out, tokensPerChunk = 32 * 1024, waves = 1,
+      inputSplit = "late")
+    val zz = Pipeline.readTokensForDocIdPrefix(spark, out, "zz-").collect()
+    assert(zz.length == 40, s"stale-index fallback returned ${zz.length} of 40")
+  }
+
   test("compact: provably disjoint inputs skip the dedup shuffle; overlap does not") {
     import spark.implicits._
     val dsA = Fixtures.tokenTable(spark, 200, seed = 71, medianLen = 64, maxLen = 512, partitions = 2)
