@@ -2049,6 +2049,36 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // chunk-grain NOT constraint — the complement of q45's membership
+    // search. The reference cannot prefilter NOT (it decodes the
+    // child's row set and complements, constraint.go:934-967, with the
+    // why-not at :946-950); the chunk ladder actually can, in one
+    // direction: a chunk the Equal ladder PROVES token-free (min/max
+    // bounds, then dict-header binary search) is accepted WHOLESALE —
+    // every doc qualifies, and the accept is metadata-only (ids +
+    // lengths decode; the token payload is neither read past the scan
+    // nor decoded). Only may-contain chunks pay the full decode +
+    // per-doc complement. With a rare probe most chunks take the cheap
+    // path — the complement query is CHEAPER than the membership one,
+    // inverting the reference's cost order.
+    "q83_token_not_search" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val probe = 'q'.toInt // same rare probe as q45: ~0.5% of tokens
+      chunksFor(s, dir, tokensPerChunk = 16384)
+        .flatMap { c =>
+          if (!Decoder.chunkMayContainToken(c, probe))
+            Decoder.decodeDocIndex(c.chunk_id, c.doc_ids_enc, c.lengths_enc, c.sources_enc)
+              .map(r => (r.doc_id.toLong, r.n_tok.toLong))
+          else Decoder.decodeChunk(c).flatMap { r =>
+            if (r.tokens.contains(probe)) Iterator.empty
+            else Iterator.single((r.doc_id.toLong, r.n_tok.toLong))
+          }
+        }
+        .toDF("doc_id", "n_tok")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- rows-only entries (not ANSI-SQL-expressible identically) ----
 
     // ANN: brute-force cosine top-5 for 3 probe vectors (float math —
@@ -2565,6 +2595,14 @@ object SparkEntry {
         |  CAST(sum(4 * length(text) + length(CAST(doc_id AS VARCHAR))
         |           + length(source) + 4) AS BIGINT) AS raw_bytes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // complement of q45's membership predicate over the same corpus;
+    // empty docs contain no 'q' and are kept with n_tok 0
+    "q83_token_not_search" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_tok
+        |FROM documents WHERE NOT contains(text, 'q')
+        |ORDER BY doc_id""".stripMargin,
 
     "q66_exact_quantiles" ->
       """WITH h AS (

@@ -75,12 +75,12 @@ class BenchEmitSpec extends AnyFunSuite {
     assert((j \ "encode" \ "efficiency_estimator") == JString("paired"))
   }
 
-  test("round-5-width query map (81 entries) keeps per-query secs in the headline") {
-    // the round-5 registry width: 81 queries (q01-q82 minus the
-    // retired q29) with realistic name lengths — the headline must
+  test("round-5-width query map (82 entries) keeps per-query secs in the headline") {
+    // the round-5 registry width: 82 queries (q01-q83 minus the q29
+    // numbering hole) with realistic name lengths — the headline must
     // keep the per-query map (possibly at reduced precision), never
     // fall to the count-only rung
-    val wide = results ++ (53 to 82).map(i => f"q$i%02d_some_operator_name" -> (0.3 + i * 0.11))
+    val wide = results ++ (53 to 83).map(i => f"q$i%02d_some_operator_name" -> (0.3 + i * 0.11))
     val line = BenchEmit.compactLine(wide, Nil, sfDir, degraded = false,
       wallSecs = 1500.0, fatal = None, encFields)
     assert(line.length < BenchEmit.MaxLen, s"${line.length} chars:\n$line")

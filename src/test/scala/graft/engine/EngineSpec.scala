@@ -581,6 +581,45 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(zz.length == 40, s"stale-index fallback returned ${zz.length} of 40")
   }
 
+  test("token NOT complement: provably-free chunks accept metadata-only, partition is exact") {
+    import spark.implicits._
+    val probe = 500
+    // two sources → two chunk families: "low" docs can never contain
+    // the probe (tokens < 100), "mixed" docs contain it in every other
+    // doc — so both ladder branches are exercised
+    val rows = (0 until 60).map { i =>
+      if (i % 2 == 0)
+        TokenRow(f"low_$i%04d", Array.tabulate(40)(j => (i * 7 + j) % 100), 40, "low")
+      else {
+        val base = Array.tabulate(40)(j => (i * 11 + j) % 100)
+        if (i % 4 == 1) base(17) = probe
+        TokenRow(f"mix_$i%04d", base, 40, "mixed")
+      }
+    }
+    val ds = spark.createDataset(rows)
+    val chunks = Encoder.encodeTable(ds, tokensPerChunk = 512).collect()
+    val lowChunks = chunks.filter(_.part_source == "low")
+    assert(lowChunks.nonEmpty &&
+      lowChunks.forall(!Decoder.chunkMayContainToken(_, probe)),
+      "every low chunk must be provably probe-free (fast-path trigger)")
+    assert(chunks.exists(Decoder.chunkMayContainToken(_, probe)),
+      "some mixed chunk must be may-contain (slow-path trigger)")
+    // complement ladder (q83's kernel) vs brute-force full decode
+    val ladder = chunks.flatMap { c =>
+      if (!Decoder.chunkMayContainToken(c, probe))
+        Decoder.decodeDocIndex(c.chunk_id, c.doc_ids_enc, c.lengths_enc, c.sources_enc)
+          .map(_.doc_id)
+      else Decoder.decodeChunk(c).collect {
+        case r if !r.tokens.contains(probe) => r.doc_id
+      }
+    }.toSet
+    val brute = rows.collect { case r if !r.tokens.contains(probe) => r.doc_id }.toSet
+    assert(ladder == brute, s"complement mismatch: ${ladder.diff(brute)} / ${brute.diff(ladder)}")
+    // and the complement really is the complement of the membership set
+    val members = rows.collect { case r if r.tokens.contains(probe) => r.doc_id }.toSet
+    assert((ladder & members).isEmpty && (ladder ++ members).size == rows.size)
+  }
+
   test("compact: provably disjoint inputs skip the dedup shuffle; overlap does not") {
     import spark.implicits._
     val dsA = Fixtures.tokenTable(spark, 200, seed = 71, medianLen = 64, maxLen = 512, partitions = 2)
