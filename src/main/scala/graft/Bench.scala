@@ -574,10 +574,25 @@ object Bench {
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"), (full + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => }
-      println(full)
       val compact = BenchEmit.compactLine(
         results, errors, sfDir, degraded, elapsedSecs, fatal, encFields.toSeq)
+      // ALL stderr traffic before the stdout lines, explicitly flushed:
+      // the driver captures stdout and stderr MERGED (`2>&1` — round-4
+      // tails show interleaved streams), and a stderr write issued
+      // between the two stdout lines was observed landing AFTER the
+      // headline in the merged file (stream-dependent flush latency),
+      // which would make the diagnostic — not the JSON — the literal
+      // last line. Nothing may write to either stream after the
+      // compact headline.
       System.err.println(s"[bench] compact headline ${compact.length} chars (cap ${BenchEmit.MaxLen})")
+      System.err.flush()
+      // drain pause: child stderr reaches this process through pump
+      // threads (ServeChild readers / sbt's stream copier) that can
+      // flush a line written BEFORE this point a beat AFTER it; give
+      // them a second to empty before the final stdout writes. Costs
+      // 1s of a ~2,000s run.
+      try Thread.sleep(1000) catch { case _: InterruptedException => }
+      println(full)
       println(compact)
       Console.flush()
     }
