@@ -51,10 +51,25 @@ object Chunker {
     * the later split's data. Same split + same data → same ids
     * (resume/replay idempotence); different split → disjoint ids.
     */
+  /** @param meta optional lightweight plan-statistics source: a
+    *        DataFrame with (source, doc_id, n_tok) columns ROW-
+    *        EQUIVALENT to df's projection onto those columns. The two
+    *        pre-passes (per-source token mass, per-bucket split
+    *        factors) aggregate `meta` instead of re-evaluating `df` —
+    *        decisive when df is an expensive opaque plan (compaction's
+    *        decode+dedup) that column pruning cannot reach: the
+    *        payload plan then evaluates exactly ONCE (the final
+    *        chunk-id attach) instead of three times. Guide §2.3/§8:
+    *        decide with small rows, move the heavy rows once. chunk
+    *        ids stay a pure function of the input either way (both
+    *        pre-passes remain deterministic functions of the same
+    *        rows), so resume/replay idempotence is unchanged.
+    */
   def assignChunks(
       df: DataFrame,
       tokensPerChunk: Long = DefaultTokensPerChunk,
-      planTag: String = ""
+      planTag: String = "",
+      meta: Option[DataFrame] = None
   ): DataFrame = {
     // a chunk's token stream is one Int-indexed array in the encode
     // kernel (and the point-decode paths compute Int slice offsets
@@ -65,9 +80,14 @@ object Chunker {
       s"tokensPerChunk must be in [1, 2^30], got $tokensPerChunk " +
         "(a chunk's tokens are one Int-indexed array; 2^30 leaves 2x headroom " +
         "for the final doc's overshoot)")
+    // plan-statistics source: the (source, doc_id, n_tok) projection —
+    // df itself (column-prunable for columnar inputs), or the caller's
+    // cheaper row-equivalent metadata plan
+    val statsIn = meta.getOrElse(df).select(col("source"), col("doc_id"), col("n_tok"))
+
     // pre-pass 1: token mass per source -> base bucket count per source.
     // |sources| is tiny relative to rows; broadcast it.
-    val perSource = df
+    val perSource = statsIn
       .groupBy(col("source"))
       .agg(sum(col("n_tok")).as("src_tokens"))
       .select(
@@ -84,7 +104,11 @@ object Chunker {
 
     // pre-pass 2: token-weighted per-bucket mass -> split factors for
     // the overweight minority (long-tail n_tok / hot hash buckets).
-    val splits = withBase
+    // Aggregated from statsIn (same rows, same base_id formula) so an
+    // expensive df is not evaluated a third time.
+    val splits = statsIn
+      .join(broadcast(perSource), Seq("source"))
+      .withColumn("base_id", pmod(xxhash64(col("doc_id")), col("num_base")))
       .groupBy(col("source"), col("base_id"))
       .agg(sum(col("n_tok")).as("bucket_tokens"))
       .select(
@@ -117,11 +141,12 @@ object Chunker {
   def chunked(
       ds: Dataset[TokenRow],
       tokensPerChunk: Long = DefaultTokensPerChunk,
-      planTag: String = ""
+      planTag: String = "",
+      meta: Option[DataFrame] = None
   ): Dataset[ChunkedRow] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    assignChunks(ds.toDF(), tokensPerChunk, planTag)
+    assignChunks(ds.toDF(), tokensPerChunk, planTag, meta)
       .select("chunk_id", "doc_id", "tokens", "n_tok", "source")
       .as[ChunkedRow]
   }

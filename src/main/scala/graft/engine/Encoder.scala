@@ -184,12 +184,18 @@ object Encoder {
       }
   }
 
-  /** Full path: token table → deterministic chunks → encoded chunks. */
+  /** Full path: token table → deterministic chunks → encoded chunks.
+    * @param meta optional (source, doc_id, n_tok) plan-statistics
+    *        DataFrame for the Chunker pre-passes — see
+    *        [[Chunker.assignChunks]]; pass it when `ds` is an opaque
+    *        typed plan that column pruning cannot cheapen.
+    */
   def encodeTable(
       ds: Dataset[TokenRow],
-      tokensPerChunk: Long = Chunker.DefaultTokensPerChunk
+      tokensPerChunk: Long = Chunker.DefaultTokensPerChunk,
+      meta: Option[org.apache.spark.sql.DataFrame] = None
   ): Dataset[EncodedChunk] =
-    encode(Chunker.chunked(ds, tokensPerChunk))
+    encode(Chunker.chunked(ds, tokensPerChunk, meta = meta))
 }
 
 /** Decode side: EncodedChunk → TokenRow, verifying stored checksums —

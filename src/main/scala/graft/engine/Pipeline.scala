@@ -237,18 +237,51 @@ object Pipeline {
     * answer) falls back to the full dedup — the fast path is an
     * optimization, never a correctness gate.
     */
-  def compactPlan(
+  /** Per-input-dir chunk metadata in ONE Spark job (guide §1/§2: the
+    * former shape paid one tiny driver job per dir per question —
+    * ranges, fingerprint, row counts — 3·|dirs| scheduling floors for
+    * data a single union+groupBy answers): for each dir index,
+    * (min doc_id, max doc_id, decimal sum of the per-chunk content
+    * hashes, sum of n_rows). Dirs may repeat; the index keys them.
+    */
+  private def compactDirMeta(
       spark: SparkSession,
       inDirs: Seq[String]
-  ): (Dataset[TokenRow], Boolean) = {
+  ): IndexedSeq[(Option[String], Option[String], Option[java.math.BigDecimal], Long)] = {
+    val per = inDirs.zipWithIndex.map { case (d, i) =>
+      spark.read.parquet(chunksPath(d)).select(
+        lit(i).as("dir"),
+        col("min_doc_id"), col("max_doc_id"),
+        xxhash64(col("chunk_id"), col("checksum"), col("n_rows"))
+          .cast("decimal(20,0)").as("h"),
+        col("n_rows").cast("long").as("n_rows"))
+    }.reduce(_ unionByName _)
+    val rows = per.groupBy(col("dir")).agg(
+      min("min_doc_id"), max("max_doc_id"), sum("h"), sum("n_rows"))
+      .collect()
+      .map(r => r.getInt(0) -> ((Option(r.getString(1)), Option(r.getString(2)),
+        Option(r.getDecimal(3)), if (r.isNullAt(4)) 0L else r.getLong(4))))
+      .toMap
+    // a dir with zero chunk rows produces no group — fill the empty shape
+    inDirs.indices.map(i => rows.getOrElse(i, (None, None, None, 0L)))
+  }
+
+  /** Internal plan: winners + fast-path verdict + the metadata-only
+    * (source, doc_id, n_tok) row-equivalent of the winners, which
+    * [[run]] feeds to the Chunker pre-passes so the expensive
+    * decode(+dedup) plan evaluates once, not three times
+    * ([[Chunker.assignChunks]] meta).
+    */
+  private def compactPlanInternal(
+      spark: SparkSession,
+      inDirs: Seq[String],
+      dirMeta: IndexedSeq[(Option[String], Option[String], Option[java.math.BigDecimal], Long)]
+  ): (Dataset[TokenRow], Boolean, DataFrame) = {
     import spark.implicits._
     val all = inDirs.map(d => readTokens(spark, d)).reduce(_ union _)
-    val ranges = inDirs.map { d =>
-      val r = spark.read.parquet(chunksPath(d))
-        .agg(min("min_doc_id"), max("max_doc_id")).first()
-      (Option(r.getString(0)), Option(r.getString(1)))
-    }
-    val nonEmpty = ranges.collect { case (Some(lo), Some(hi)) => (lo, hi) }
+    val metaAll = inDirs.map(d => readDocIndex(spark, d).toDF()
+      .select(col("source"), col("doc_id"), col("n_tok"))).reduce(_ union _)
+    val nonEmpty = dirMeta.collect { case (Some(lo), Some(hi), _, _) => (lo, hi) }
     // Utf8Order throughout: the per-dir bounds were aggregated by Spark
     // in UTF-8 byte order, so the driver-side disjointness proof must
     // sort and compare in the SAME order — mixing in Java's UTF-16
@@ -258,18 +291,26 @@ object Pipeline {
       case Seq((_, aHi), (bLo, _)) => Utf8Order.lt(aHi, bLo)
       case _ => true
     }
-    val provablyUnique = rangesDisjoint && inDirs.forall { d =>
-      val r = readDocIndex(spark, d)
-        .agg(count(col("doc_id")), countDistinct(col("doc_id"))).first()
-      r.getLong(0) == r.getLong(1)
+    // internal-duplicate proof for ALL dirs in ONE payload-free job
+    // (was one job per dir): count == countDistinct over each dir's
+    // doc index
+    val provablyUnique = rangesDisjoint && {
+      val per = inDirs.zipWithIndex.map { case (d, i) =>
+        readDocIndex(spark, d).toDF().select(lit(i).as("dir"), col("doc_id"))
+      }.reduce(_ unionByName _)
+        .groupBy(col("dir"))
+        .agg(count(col("doc_id")).as("n"), countDistinct(col("doc_id")).as("nd"))
+        .collect()
+      per.forall(r => r.getLong(1) == r.getLong(2))
     }
-    if (provablyUnique) (all, true)
+    if (provablyUnique) (all, true, metaAll)
     else {
       // key each row ONCE (content checksum is O(n_tok)); the combiner
       // then compares precomputed keys however many inputs collide. No
       // persist: at target scale materializing the decoded union would
-      // demand corpus-size executor storage — run()'s extra decode
-      // passes are the cheaper trade, and compact's row accounting is
+      // demand corpus-size executor storage — the single remaining
+      // payload evaluation (the encode pass; pre-passes read metadata)
+      // is the cheaper trade, and compact's row accounting is
       // metadata-only.
       val winners = all
         .map(r => ((r.source, r.n_tok, Checksum.ofTokens(r.tokens, r.n_tok)), r))
@@ -277,8 +318,30 @@ object Pipeline {
         .reduceGroups((x, y) =>
           if (Ordering[(String, Int, Long)].lteq(x._1, y._1)) x else y)
         .map(_._2._2)
-      (winners, false)
+      // metadata twin of the dedup: min by (source, n_tok) per doc_id —
+      // same (source, n_tok) as the winners' (source, n_tok, checksum)
+      // min for every doc (the checksum only breaks exact ties, which
+      // share source and n_tok), so the Chunker pre-pass masses match.
+      // (Struct min orders strings in UTF-8 byte order vs the kernel's
+      // UTF-16 — for a supplementary-plane source name the two could
+      // pick different winners; that would only shift bucket masses,
+      // never which rows encode, and both orders are deterministic, so
+      // chunk ids stay a pure function of the input set.)
+      val metaWinners = metaAll
+        .groupBy(col("doc_id"))
+        .agg(min(struct(col("source"), col("n_tok"))).as("w"))
+        .select(col("w.source").as("source"), col("doc_id"),
+          col("w.n_tok").as("n_tok"))
+      (winners, false, metaWinners)
     }
+  }
+
+  def compactPlan(
+      spark: SparkSession,
+      inDirs: Seq[String]
+  ): (Dataset[TokenRow], Boolean) = {
+    val (winners, fast, _) = compactPlanInternal(spark, inDirs, compactDirMeta(spark, inDirs))
+    (winners, fast)
   }
 
   def compact(
@@ -313,15 +376,17 @@ object Pipeline {
     // persisted beside the partial output and must match on resume.
     val fpFile = new org.apache.hadoop.fs.Path(outDir, "_compact_inputs.fp")
     val fs = fsOf(spark, outDir)
+    // ONE metadata job answers every per-dir question (content
+    // fingerprint, doc_id ranges, input row counts) — the former shape
+    // ran 3 separate driver jobs per input dir for the same tiny scan
+    val dirMeta = compactDirMeta(spark, inDirs)
     val contentFp: String = {
-      val per = inDirs.map(d =>
-        spark.read.parquet(chunksPath(d))
-          .select(xxhash64(col("chunk_id"), col("checksum"), col("n_rows")).as("h")))
-        .reduce(_ union _)
       // decimal sum: order-independent AND overflow-free under ANSI
-      // mode (a long sum of 2^63-scale hashes would throw)
-      val r = per.agg(sum(col("h").cast("decimal(20,0)"))).first()
-      if (r.isNullAt(0)) "0" else r.getDecimal(0).toBigInteger.toString
+      // mode (a long sum of 2^63-scale hashes would throw); the global
+      // sum is the sum of the per-dir sums
+      val tot = dirMeta.flatMap(_._3)
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      if (dirMeta.forall(_._3.isEmpty)) "0" else tot.toBigInteger.toString
     }
     if (fsOf(spark, chunksPath(outDir)).exists(new org.apache.hadoop.fs.Path(chunksPath(outDir)))) {
       val splits = readChunks(spark, outDir).toDF()
@@ -342,19 +407,32 @@ object Pipeline {
     }
     val out = fs.create(fpFile, true)
     try out.write(contentFp.toString.getBytes("UTF-8")) finally out.close()
-    val (winners, _) = compactPlan(spark, inDirs)
-    val rpt = run(spark, winners, outDir, tokensPerChunk, waves, inputSplit = tag)
+    val (winners, _, metaWinnersRaw) = compactPlanInternal(spark, inDirs, dirMeta)
+    // persist the METADATA twin for the duration of the encode: the two
+    // Chunker pre-passes both aggregate it, and without the persist the
+    // doc-index union + dedup shuffle evaluates once per pre-pass. This
+    // is ~1% of the payload bytes (ids/lengths/sources only) — bounded,
+    // unlike the corpus-sized payload persist compactPlan deliberately
+    // declines above.
+    val metaWinners = metaWinnersRaw
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rpt =
+      try run(spark, winners, outDir, tokensPerChunk, waves, inputSplit = tag,
+        planMeta = Some(metaWinners))
+      finally metaWinners.unpersist()
     if (verify) {
       val v = Verifier.verify(winners, readChunks(spark, outDir))
       require(v.ok, s"compact round-trip verification FAILED: $v")
     }
     // dedup accounting from chunk METADATA (payload pruned), correct on
-    // resume too — rpt.rows counts only the waves this invocation wrote
-    def metaRows(d: String): Long = {
-      val r = spark.read.parquet(chunksPath(d)).agg(sum("n_rows")).first()
+    // resume too — rpt.rows counts only the waves this invocation
+    // wrote. Input row counts come from the combined dirMeta job; only
+    // the freshly written target needs its own (one) metadata job.
+    val outRows = {
+      val r = spark.read.parquet(chunksPath(outDir)).agg(sum("n_rows")).first()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    rpt.copy(rowsDropped = inDirs.map(metaRows).sum - metaRows(outDir))
+    rpt.copy(rowsDropped = dirMeta.map(_._4).sum - outRows)
   }
 
   /** Point-lookup decode: only chunks whose [min_doc_id, max_doc_id]
@@ -445,18 +523,69 @@ object Pipeline {
   private def docIndexFpPath(outDir: String) =
     new org.apache.hadoop.fs.Path(outDir, "_doc_index.fp")
 
+  /** Deep content stamp of a local directory tree (every file's name,
+    * length and mtime folded): the cheap invalidation key for
+    * [[chunkSetFingerprint]]'s memo. Parquet files are immutable once
+    * committed — any append/rewrite adds, removes or replaces files,
+    * which changes the stamp. Non-local filesystems return 0 (memo
+    * disabled, every call recomputes — the pre-memo behavior).
+    */
+  private def dirStampDeep(path: String): Long = {
+    def walk(f: java.io.File, acc: Long): Long = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      kids.foldLeft(acc * 1099511628211L ^ f.getName.hashCode.toLong) { (a, k) =>
+        if (k.isDirectory) walk(k, a)
+        else a * 1099511628211L ^ k.getName.hashCode.toLong ^ k.lastModified() ^ k.length()
+      }
+    }
+    val f = new java.io.File(path)
+    if (!f.exists()) 0L else walk(f, -3750763034362895579L) // FNV-1a offset basis
+  }
+
+  /** Session-scoped memo of [[chunkSetFingerprint]], keyed by the
+    * chunks directory's deep content stamp: every freshness check
+    * still VALIDATES against the current directory contents (an
+    * appended chunk changes the stamp and forces a recompute — the
+    * stale-index fallback contract is untouched), but repeated lookups
+    * against an unchanged table stop paying one Spark job each. The
+    * same derived-metadata-cache convention as SparkEntry's encode
+    * caches; nothing persists across JVMs.
+    */
+  private val fpMemo = scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
   /** Order-independent fingerprint of the chunk-id set — one tiny
-    * single-column agg; pairs the index with the exact chunks table it
-    * was built from.
+    * single-column agg (memoized per content stamp); pairs the index
+    * with the exact chunks table it was built from. Format
+    * "chunkCount:hashSum".
     */
   private def chunkSetFingerprint(spark: SparkSession, outDir: String): String = {
-    val r = spark.read
-      .schema(org.apache.spark.sql.Encoders.product[EncodedChunk].schema)
-      .parquet(chunksPath(outDir))
-      .select(xxhash64(col("chunk_id")).as("h"))
-      .agg(count(lit(1)), sum(col("h").cast("decimal(20,0)"))).first()
-    val s = if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString
-    s"${r.getLong(0)}:$s"
+    val cp = chunksPath(outDir)
+    val key = s"${spark.sparkContext.applicationId}:${new java.io.File(cp).getAbsolutePath}"
+    val stamp = dirStampDeep(cp)
+    fpMemo.get(key) match {
+      case Some((st, fp)) if st == stamp && stamp != 0L => fp
+      case _ =>
+        val r = spark.read
+          .schema(org.apache.spark.sql.Encoders.product[EncodedChunk].schema)
+          .parquet(cp)
+          .select(xxhash64(col("chunk_id")).as("h"))
+          .agg(count(lit(1)), sum(col("h").cast("decimal(20,0)"))).first()
+        val s = if (r.isNullAt(1)) "0" else r.getDecimal(1).toBigInteger.toString
+        val fp = s"${r.getLong(0)}:$s"
+        if (stamp != 0L) fpMemo(key) = (stamp, fp)
+        fp
+    }
+  }
+
+  /** Is the doc-sorted index present and paired with the CURRENT
+    * chunks table? The freshness half of [[lookupChunkIdsViaIndex]]
+    * without the probe — callers deciding build-vs-lookup check this
+    * first instead of paying a throwaway probe job.
+    */
+  def docIndexIsFresh(spark: SparkSession, outDir: String): Boolean = {
+    val fs = fsOf(spark, outDir)
+    fs.exists(docIndexFpPath(outDir)) &&
+      readSmallText(fs, docIndexFpPath(outDir), 96) == chunkSetFingerprint(spark, outDir)
   }
 
   /** Build (or rebuild) the doc_id → chunk_id index for an encoded
@@ -479,10 +608,9 @@ object Pipeline {
     val files =
       if (indexFiles > 0) indexFiles
       else {
-        val nChunks = spark.read
-          .schema(org.apache.spark.sql.Encoders.product[EncodedChunk].schema)
-          .parquet(chunksPath(outDir))
-          .select(col("chunk_id")).count()
+        // chunk count is the first field of the fingerprint already
+        // computed above — no separate count job
+        val nChunks = fpAtStart.split(":")(0).toLong
         // ~8 chunks' doc ids per index file keeps files in the low MBs
         math.max(1, (nChunks / 8).toInt)
       }
@@ -527,10 +655,7 @@ object Pipeline {
       docIds: Seq[String]
   ): Option[Seq[Long]] = {
     import spark.implicits._
-    val fs = fsOf(spark, outDir)
-    if (!fs.exists(docIndexFpPath(outDir))) return None
-    val stored = readSmallText(fs, docIndexFpPath(outDir), 96)
-    if (stored != chunkSetFingerprint(spark, outDir)) return None
+    if (!docIndexIsFresh(spark, outDir)) return None
     Some(spark.read.parquet(docIndexPath(outDir))
       .filter(col("doc_id").isin(docIds: _*))
       .select(col("chunk_id")).distinct()
@@ -555,6 +680,13 @@ object Pipeline {
     else {
       val out = java.util.Arrays.copyOf(cps, i + 1)
       out(i) += 1
+      // skip the surrogate block: no valid string contains a lone
+      // surrogate code point (String.getBytes(UTF_8) would mangle it
+      // to '?', making the stored bound sort BELOW the range's lo and
+      // match nothing), and every code point in [U+D800, U+DFFF] is
+      // unencodable, so U+E000 is the least valid next code point —
+      // the bound stays exact
+      if (out(i) >= 0xD800 && out(i) <= 0xDFFF) out(i) = 0xE000
       Some(new String(out, 0, out.length))
     }
   }
@@ -578,11 +710,8 @@ object Pipeline {
       hi: Option[String]
   ): Seq[Long] = {
     import spark.implicits._
-    val fs = fsOf(spark, outDir)
     val viaIndex =
-      if (!fs.exists(docIndexFpPath(outDir))) None
-      else if (readSmallText(fs, docIndexFpPath(outDir), 96) !=
-        chunkSetFingerprint(spark, outDir)) None
+      if (!docIndexIsFresh(spark, outDir)) None
       else {
         val probe = spark.read.parquet(docIndexPath(outDir))
           .filter(hi.foldLeft(col("doc_id") >= lo)((p, h) => p && col("doc_id") < h))
@@ -744,7 +873,15 @@ object Pipeline {
       tokensPerChunk: Long = Chunker.DefaultTokensPerChunk,
       waves: Int = 4,
       inputSplit: String = "",
-      failOnChunk: Long => Boolean = _ => false
+      failOnChunk: Long => Boolean = _ => false,
+      /** optional (source, doc_id, n_tok) plan-statistics DataFrame,
+        * row-equivalent to `input`'s projection — see
+        * [[Chunker.assignChunks]]'s meta param. Callers whose input is
+        * an expensive opaque plan (compaction) pass the metadata-only
+        * equivalent so the payload plan evaluates once, not three
+        * times.
+        */
+      planMeta: Option[DataFrame] = None
   ): EncodeReport = {
     import spark.implicits._
 
@@ -757,7 +894,7 @@ object Pipeline {
     // inputSplit scopes chunk identity (Chunker.assignChunks planTag):
     // re-running the SAME split resumes/replays idempotently; a
     // different split gets disjoint chunk ids
-    val planned = Chunker.chunked(input, tokensPerChunk, planTag = inputSplit)
+    val planned = Chunker.chunked(input, tokensPerChunk, planTag = inputSplit, meta = planMeta)
 
     // chunks already durable from a previous (partial) run
     val completed: Option[DataFrame] =
@@ -883,18 +1020,22 @@ object Pipeline {
           case Some(done) => writtenAll.join(broadcast(done), Seq("chunk_id"), "left_anti")
           case None => writtenAll
         }
-        val lin = lineageFromChunks(written)
+        // wave stats ride the lineage write as observed metrics (one
+        // job instead of a write + a second aggregate over the same
+        // directory)
+        val obs = org.apache.spark.sql.Observation(s"wave-$w-stats")
+        val lin = lineageFromChunks(written).observe(obs,
+          count(lit(1)).as("n"), sum("row_count").as("r"),
+          sum("token_count").as("t"), sum("raw_bytes").as("rb"),
+          sum("encoded_bytes").as("eb"))
         lin.write.mode(SaveMode.Append).parquet(lineagePath(outDir))
-
-        val stats = written.agg(
-          count(lit(1)), sum("n_rows"), sum("n_tokens"),
-          sum("raw_bytes"), sum("encoded_bytes")).first()
-        encoded += stats.getLong(0)
-        if (!stats.isNullAt(1)) {
-          rows += stats.getLong(1)
-          tokens += stats.getLong(2)
-          rawB += stats.getLong(3)
-          encB += stats.getLong(4)
+        val stats = obs.get
+        encoded += stats("n").asInstanceOf[Long]
+        if (stats("r") != null) {
+          rows += stats("r").asInstanceOf[Long]
+          tokens += stats("t").asInstanceOf[Long]
+          rawB += stats("rb").asInstanceOf[Long]
+          encB += stats("eb").asInstanceOf[Long]
         }
       }
       wavesRun += 1

@@ -219,6 +219,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q20 jaccard probe: 1-row probe side broadcasts, never shuffles") {
+    val p = plan("q20_ngram_jaccard")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected the 1-row probe side to broadcast:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "probe attach must broadcast, not shuffle or cartesian")
+  }
+
   test("q40 exact-ANN: probe side broadcast, integer-only output") {
     val df = SparkEntry.queries("q40_ann_dot_topk")(spark, sf)
     val p = df.queryExecution.executedPlan.toString()

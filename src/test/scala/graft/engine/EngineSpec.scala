@@ -527,6 +527,16 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // supplementary-plane increment stays in code-point (= UTF-8) order
     val s = Pipeline.prefixSuccessor(new String(Character.toChars(0x10000))).get
     assert(Utf8Order.lt(new String(Character.toChars(0x10000)), s))
+    // a prefix ending in U+D7FF must skip the surrogate block: naive
+    // increment yields lone U+D800, which UTF-8-encodes as '?' (0x3F)
+    // and would sort BELOW the range's lo — the pushed range filter
+    // would silently match nothing
+    val preSurrogate = "a\ud7ff" // a + U+D7FF (last cp before surrogates)
+    val dSucc = Pipeline.prefixSuccessor(preSurrogate).get
+    assert(dSucc == "a\ue000", f"got U+${dSucc.codePointAt(1)}%04x")
+    assert(Utf8Order.lt(preSurrogate, dSucc))
+    // the bound stays tight: any string with the prefix sorts below it
+    assert(Utf8Order.lt(preSurrogate + "zzz", dSucc))
   }
 
   test("prefix/range lookup: index range probe is exact and pushed, stale index falls back") {
