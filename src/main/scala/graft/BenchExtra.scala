@@ -65,6 +65,12 @@ object BenchExtra {
           s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(s.stageInfo.numTasks)
+        if (sys.env.contains("SPARK_GRAFT_EXTRA_STAGES")) {
+          val i = s.stageInfo
+          val wall = (for { a <- i.submissionTime; b <- i.completionTime }
+            yield (b - a) / 1e3).getOrElse(-1.0)
+          System.err.println(f"[stage ${i.stageId}%4d] tasks=${i.numTasks}%3d wall=$wall%6.2fs ${i.name.take(90)}")
+        }
       }
     })
 

@@ -1028,17 +1028,22 @@ object SparkEntry {
           }
         }
         .toDF("source", "sh", "hit")
-      val counts = probes.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_probes"), sum(col("hit")).as("n_bloom_hits"))
-      val trueHits = probes.filter(col("hit") === 1L)
-        .join(broadcast(benchSh.toSeq.toDF("sh")), "sh")
-        .groupBy(col("source")).agg(count(lit(1)).as("n_true_hits"))
-      // per-source aggregate: <= |sources| rows — pin the broadcast
-      counts.join(broadcast(trueHits), Seq("source"), "left")
+      // ONE probe pass feeds every output column: a broadcast LEFT
+      // join against the distinct benchmark set marks the true hits
+      // (hit=0 rows carry a null sh, which matches nothing) and one
+      // per-source aggregate folds probes / bloom hits / true hits
+      // together — the former two-branch shape (counts + verify join)
+      // re-ran the probe kernel once per branch and needed a third
+      // join to merge the per-source results.
+      probes
+        .join(broadcast(benchSh.toSeq.toDF("sh").withColumn("m", lit(1L))),
+          Seq("sh"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_probes"), sum(col("hit")).as("n_bloom_hits"),
+          sum(coalesce(col("m"), lit(0L))).as("n_true_hits"))
         .select(col("source"), col("n_probes"), col("n_bloom_hits"),
-          coalesce(col("n_true_hits"), lit(0L)).as("n_true_hits"),
-          (col("n_bloom_hits") - coalesce(col("n_true_hits"), lit(0L)))
-            .as("n_false_pos"))
+          col("n_true_hits"),
+          (col("n_bloom_hits") - col("n_true_hits")).as("n_false_pos"))
         .orderBy(col("source"))
     }),
 
@@ -1607,10 +1612,14 @@ object SparkEntry {
     // q67's passage-level duplication: for every source pair, how many
     // distinct 8-gram passages they share (mirror-site detection, the
     // "which dumps copy from which" question asked before weighting a
-    // training mix). Same 64-bit gram kernel as q67; the (source, fp)
-    // distinct set shuffles once on fp, the self-join stays
-    // fp-co-clustered, and its output is quadratic only in the
-    // SOURCES-PER-GRAM count (rare by Zipf), never in corpus size.
+    // training mix). Same 64-bit gram kernel as q67; ONE shuffle on fp
+    // folds each gram's source set (collect_set is bounded by
+    // |sources| — a mix has tens of sources, never corpus-many, so
+    // unlike a doc-level collect this cannot skew), and the pair
+    // explosion is quadratic only in that bounded per-gram source
+    // count. The former self-join formulation evaluated the gram
+    // kernel + distinct subtree once per join side and shuffled the
+    // distinct set twice more on fp.
     "q69_source_overlap" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
@@ -1620,9 +1629,11 @@ object SparkEntry {
           graft.text.Analyzer.wordShingleHash64(text, k = 8).iterator.map(fp => (src, fp))
         }
         .toDF("source", "fp")
-        .distinct()
-      bySrc.select(col("source").as("src_a"), col("fp"))
-        .join(bySrc.select(col("source").as("src_b"), col("fp")), Seq("fp"))
+      bySrc.groupBy(col("fp"))
+        .agg(collect_set(col("source")).as("ss"))
+        .filter(size(col("ss")) > 1)
+        .select(explode(col("ss")).as("src_a"), col("ss"))
+        .select(col("src_a"), explode(col("ss")).as("src_b"))
         .filter(col("src_a") < col("src_b"))
         .groupBy(col("src_a"), col("src_b"))
         .agg(count(lit(1)).as("n_shared_grams"))
@@ -2708,7 +2719,14 @@ object SparkEntry {
 
     // ground truth recomputed from the corpus: lineage totals must
     // match doc counts, code-point mass, and the documented raw-bytes
-    // accounting (4 B/token + doc_id/source strings + 4 B row header)
+    // accounting (4 B/token + doc_id/source strings + 4 B row header).
+    // ASCII-id assumption (round-5 advice, documented rather than
+    // changed — the oracle SQL is frozen): DuckDB length() counts code
+    // points while the encoder's raw_bytes accumulates
+    // doc_id.length/source.length in UTF-16 code units
+    // (Encoder.scala raw_bytes) — equal for the fixtures' ASCII ids
+    // and sources; a non-BMP doc_id would need the encoder to count
+    // code points for this reconciliation to stay exact.
     "q82_lineage_reconcile" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS n_tokens,

@@ -52,11 +52,19 @@ object Components {
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 64): DataFrame = {
     val p = pairs.toDF("a", "b")
+    // partitioned by V, the JOIN key: the per-round join probes the
+    // label table on the neighbor side, so v-partitioning is what the
+    // cached relation's outputPartitioning must advertise for the edge
+    // table to stay stationary — each round then shuffles only the
+    // (much smaller) label table to the edges, plus the unavoidable
+    // (u, vlbl) partial-agg exchange. (The previous u-partitioning
+    // matched the aggregate key instead, which sits ABOVE the join —
+    // Catalyst re-shuffled the whole edge table by v every round.)
     val edges = p.select(col("a").as("u"), col("b").as("v"))
       .union(p.select(col("b").as("u"), col("a").as("v")))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .repartition(col("u"))
+      .repartition(col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
@@ -77,16 +85,19 @@ object Components {
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
-      // min neighbor label per vertex: edges (partitioned by u once,
-      // never reshuffled) join the label table on the neighbor side,
-      // then a map-side-combined min by u
-      val nbrMin = edges
+      // min over {self label} ∪ {neighbor labels} in ONE join + ONE
+      // aggregate: edges (partitioned by v once, never reshuffled)
+      // join the label table on the neighbor side, each edge
+      // contributes (u, vlbl), the current labels ride along as their
+      // own (id, lbl) rows, and a single map-side-combined min folds
+      // both. (The former shape aggregated neighbor minima first and
+      // then LEFT-JOINED them back onto the label table — a second
+      // join and exchange per round for the same fixpoint.)
+      val contrib = edges
         .join(labels.select(col("id").as("v"), col("lbl").as("vlbl")), Seq("v"))
-        .groupBy(col("u")).agg(min(col("vlbl")).as("nlbl"))
-      val next = labels
-        .join(nbrMin.select(col("u").as("id"), col("nlbl")), Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .select(col("u").as("id"), col("vlbl").as("lbl"))
+      val next = labels.select(col("id"), col("lbl")).union(contrib)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(false)
       val s = lblSum(next).get // non-empty: labels never lose rows
       converged = s == prevSum
