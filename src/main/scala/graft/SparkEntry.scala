@@ -529,8 +529,8 @@ object SparkEntry {
     "q18_minhash" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      spread(s, t(s, dir, "documents")
-        .select(col("doc_id"), col("text"))).as[(Long, String)]
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
           val m = graft.text.Analyzer.minhashBands(text, k = 3)
           (id, m(0), m(1), m(2), m(3))
