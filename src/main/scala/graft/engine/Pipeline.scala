@@ -388,7 +388,9 @@ object Pipeline {
         .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
       if (dirMeta.forall(_._3.isEmpty)) "0" else tot.toBigInteger.toString
     }
-    if (fsOf(spark, chunksPath(outDir)).exists(new org.apache.hadoop.fs.Path(chunksPath(outDir)))) {
+    val targetHadChunks =
+      fsOf(spark, chunksPath(outDir)).exists(new org.apache.hadoop.fs.Path(chunksPath(outDir)))
+    if (targetHadChunks) {
       val splits = readChunks(spark, outDir).toDF()
         .select("input_split").distinct().collect().map(_.getString(0)).toSet
       require(splits == Set(tag),
@@ -426,12 +428,17 @@ object Pipeline {
     }
     // dedup accounting from chunk METADATA (payload pruned), correct on
     // resume too — rpt.rows counts only the waves this invocation
-    // wrote. Input row counts come from the combined dirMeta job; only
-    // the freshly written target needs its own (one) metadata job.
-    val outRows = {
-      val r = spark.read.parquet(chunksPath(outDir)).agg(sum("n_rows")).first()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
+    // wrote. Input row counts come from the combined dirMeta job. A
+    // FRESH target needs no metadata job at all: every output row was
+    // written by this invocation's waves, so rpt.rows IS the target
+    // row count; only a resumed target (pre-existing chunks) re-reads
+    // the directory.
+    val outRows =
+      if (!targetHadChunks) rpt.rows
+      else {
+        val r = spark.read.parquet(chunksPath(outDir)).agg(sum("n_rows")).first()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
     rpt.copy(rowsDropped = dirMeta.map(_._4).sum - outRows)
   }
 

@@ -66,8 +66,18 @@ object Components {
       .distinct()
       .repartition(col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
+    // Round 1, fused and join-free: with every vertex initially
+    // labeled by its own id, vertex u's first-round label is
+    // min(u, min of its neighbors) — computable straight off the edge
+    // table as one aggregate (per edge row, least(u, v); min by u).
+    // This replaces three startup passes of the former shape (the
+    // vertex-distinct init, its materializing action, and round 1's
+    // edges⋈labels join). Round 1 cannot already BE the fixpoint on a
+    // nonempty edge set (the larger endpoint of any edge changes), so
+    // convergence checking starts against round 1's sum.
+    var labels = edges
+      .select(col("u").as("id"), least(col("u"), col("v")).as("l"))
+      .groupBy(col("id")).agg(min(col("l")).as("lbl"))
       .localCheckpoint(false)
 
     // one action per table: the sum both materializes the lazy
@@ -82,7 +92,7 @@ object Components {
       case None => edges.unpersist(); return labels
       case Some(s) => s
     }
-    var it = 0
+    var it = 1
     var converged = false
     while (!converged && it < maxIters) {
       // min over {self label} ∪ {neighbor labels} in ONE join + ONE
