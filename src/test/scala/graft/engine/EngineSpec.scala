@@ -47,6 +47,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(tooFat.isEmpty, s"overweight chunks: ${tooFat.mkString(",")}")
   }
 
+  test("chunker: metadata pre-pass plans identically to the payload plan") {
+    import spark.implicits._
+    // the meta param feeds the two sizing pre-passes a row-equivalent
+    // (source, doc_id, n_tok) plan — chunk ids must come out identical
+    // to the payload-derived plan (compact and chunksFor rely on this
+    // to evaluate expensive opaque inputs once, not three times)
+    val ds = Fixtures.tokenTable(spark, 1500, seed = 31, medianLen = 128, maxLen = 4096, partitions = 4)
+    val meta = ds.toDF().select(
+      org.apache.spark.sql.functions.col("source"),
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("n_tok"))
+    val direct = Chunker.chunked(ds, tokensPerChunk = 64 * 1024)
+      .select("doc_id", "chunk_id").as[(String, Long)].collect().toMap
+    val viaMeta = Chunker.chunked(ds, tokensPerChunk = 64 * 1024, meta = Some(meta))
+      .select("doc_id", "chunk_id").as[(String, Long)].collect().toMap
+    assert(direct == viaMeta,
+      "meta-based pre-passes must produce the identical chunk plan")
+  }
+
   test("skew: one hot bucket splits into many chunks") {
     import spark.implicits._
     // all rows share ids that hash anywhere, but budget is tiny so every
