@@ -2234,16 +2234,20 @@ object SparkEntry {
     // no hash-stable oracle; ranking ties could differ)
     "q30_ann_cosine_topk" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // norms precomputed once per vector on each side (q37's fix):
+      // the crossJoin previously re-ran both sqrt/aggregate lambdas on
+      // every (corpus row x probe) pair — identical expressions,
+      // identical doubles, 4x fewer evaluations
+      val nrm = expr("sqrt(aggregate(transform(embedding, x -> x * x), 0D, (a, x) -> a + double(x)))")
       val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), nrm.as("na"))
       val probes = e.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("na").as("nb"))
       val dot = expr("aggregate(zip_with(embedding, qe, (x, y) -> x * y), 0D, (a, x) -> a + x)")
-      val na = expr("sqrt(aggregate(transform(embedding, x -> x * x), 0D, (a, x) -> a + double(x)))")
-      val nb = expr("sqrt(aggregate(transform(qe, x -> x * x), 0D, (a, x) -> a + double(x)))")
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
       e.crossJoin(broadcast(probes))
         .filter(col("vec_id") =!= col("qid"))
-        .withColumn("cos", dot / (na * nb))
+        .withColumn("cos", dot / (col("na") * col("nb")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("qid"), col("rank"), col("vec_id"))
