@@ -567,7 +567,12 @@ object Pipeline {
     */
   private def chunkSetFingerprint(spark: SparkSession, outDir: String): String = {
     val cp = chunksPath(outDir)
-    val key = s"${spark.sparkContext.applicationId}:${new java.io.File(cp).getAbsolutePath}"
+    val appId = spark.sparkContext.applicationId
+    // entries of other applications belong to stopped sessions — drop
+    // them so a long-lived JVM never accumulates dead memo entries
+    // (same eviction convention as SparkEntry's encode caches)
+    fpMemo.keys.filter(!_.startsWith(s"$appId:")).foreach(fpMemo.remove)
+    val key = s"$appId:${new java.io.File(cp).getAbsolutePath}"
     val stamp = dirStampDeep(cp)
     fpMemo.get(key) match {
       case Some((st, fp)) if st == stamp && stamp != 0L => fp
